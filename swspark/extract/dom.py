@@ -1,0 +1,285 @@
+"""DOM tree + HTML parser (stdlib ``html.parser``).
+
+Reimplements the observable semantics of the reference's tree layer:
+
+- flat-arena tree with parent/children links and pre-order traversal
+  (reference: slotmap tree, crates/sws-tree/src/lib.rs:22-35);
+- node kinds Document/Doctype/Comment/Text/Element/ProcessingInstruction
+  (crates/sws-tree/src/node.rs:13-35);
+- elements carry lowercased name, pre-split id/classes, attr map with
+  first-occurrence-wins duplicates (node.rs:212-252);
+- adjacent text nodes are merged on append
+  (crates/sws-scraper/src/html/tree_sink.rs:100-124);
+- parse errors are collected, never fatal (html/mod.rs:19-34);
+- ``inner_text`` = concatenation of all descendant text nodes in
+  pre-order document order, no separator, no whitespace normalization
+  (element_ref/mod.rs:87-99) — the byte-identity target;
+- character references decoded at parse time except inside rawtext
+  elements (html5 tokenizer behavior).
+
+Boundary vs html5ever (SURVEY.md §7 risk 1): full html5 tree
+construction (implied tags, foster parenting, active formatting
+reconstruction) is out of scope; equivalence is defined over
+well-formed documents, which the fixture corpus guarantees. Unclosed
+tags are recovered by popping to the nearest matching open tag.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+DOCUMENT = 0
+DOCTYPE = 1
+COMMENT = 2
+TEXT = 3
+ELEMENT = 4
+PI = 5
+
+
+class NodeKind:
+    DOCUMENT = DOCUMENT
+    DOCTYPE = DOCTYPE
+    COMMENT = COMMENT
+    TEXT = TEXT
+    ELEMENT = ELEMENT
+    PI = PI
+
+
+# https://html.spec.whatwg.org/#void-elements
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# Elements whose text content is never entity-escaped on serialization
+# (html5ever serializer behavior for rawtext).
+RAWTEXT_ELEMENTS = frozenset(
+    "style script xmp iframe noembed noframes plaintext noscript".split()
+)
+
+
+class Node:
+    __slots__ = ("kind", "parent", "children", "text", "name", "attrs", "id", "classes")
+
+    def __init__(self, kind: int, text: str = "", name: str = ""):
+        self.kind = kind
+        self.parent: Node | None = None
+        self.children: list[Node] = []
+        self.text = text  # TEXT data / COMMENT data / DOCTYPE decl / PI data
+        self.name = name
+        self.attrs: dict[str, str] = {}
+        self.id: str | None = None
+        self.classes: frozenset[str] = frozenset()
+
+    # --- structure -------------------------------------------------
+    def append(self, child: "Node") -> None:
+        """Append a child, merging adjacent text nodes
+        (tree_sink.rs:100-124 semantics)."""
+        if child.kind == TEXT and self.children and self.children[-1].kind == TEXT:
+            self.children[-1].text += child.text
+            return
+        child.parent = self
+        self.children.append(child)
+
+    def descendants(self):
+        """Pre-order traversal of strict descendants (document order)."""
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if node.children:
+                stack.extend(reversed(node.children))
+
+    def descendant_elements(self):
+        for n in self.descendants():
+            if n.kind == ELEMENT:
+                yield n
+
+    # --- element accessors (node.rs:254-288, interop.rs:98-140) -----
+    def attr(self, name: str) -> str | None:
+        return self.attrs.get(name)
+
+    def has_class(self, cls: str, case_insensitive: bool = False) -> bool:
+        """Lua-surface hasClass is ASCII-case-insensitive
+        (interop.rs:109-113); CSS .class matching is case-sensitive."""
+        if case_insensitive:
+            low = cls.lower()
+            return any(c.lower() == low for c in self.classes)
+        return cls in self.classes
+
+    # --- extraction (element_ref/mod.rs) -----------------------------
+    def text_nodes(self):
+        """Lazy iterator over descendant text node strings, pre-order
+        (element_ref/mod.rs:80-84,140-168)."""
+        for n in self.descendants():
+            if n.kind == TEXT:
+                yield n.text
+
+    def inner_text(self) -> str:
+        """Byte-identity target: pre-order concat, no separator, no
+        normalization (element_ref/mod.rs:87-99)."""
+        return "".join(self.text_nodes())
+
+    def inner_html(self) -> str:
+        """Serialize children only (element_ref/mod.rs:75-77,
+        TraversalScope::ChildrenOnly)."""
+        out: list[str] = []
+        raw = self.kind == ELEMENT and self.name in RAWTEXT_ELEMENTS
+        for c in self.children:
+            _serialize(c, out, raw)
+        return "".join(out)
+
+    def html(self) -> str:
+        """Serialize including the node itself (element_ref/mod.rs:70-72)."""
+        out: list[str] = []
+        parent_raw = (
+            self.parent is not None
+            and self.parent.kind == ELEMENT
+            and self.parent.name in RAWTEXT_ELEMENTS
+        )
+        _serialize(self, out, parent_raw)
+        return "".join(out)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        if self.kind == ELEMENT:
+            return f"<Element {self.name} id={self.id} classes={sorted(self.classes)}>"
+        return f"<Node kind={self.kind} {self.text[:30]!r}>"
+
+
+def _escape_text(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("\xa0", "&nbsp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
+def _escape_attr(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("\xa0", "&nbsp;")
+        .replace('"', "&quot;")
+    )
+
+
+def _serialize(node: Node, out: list[str], in_rawtext: bool) -> None:
+    """html5ever-compatible serialization
+    (crates/sws-scraper/src/html/serializable.rs:9-53)."""
+    k = node.kind
+    if k == TEXT:
+        out.append(node.text if in_rawtext else _escape_text(node.text))
+    elif k == ELEMENT:
+        out.append("<")
+        out.append(node.name)
+        for a, v in node.attrs.items():
+            out.append(f' {a}="{_escape_attr(v)}"')
+        out.append(">")
+        if node.name in VOID_ELEMENTS:
+            return
+        raw = node.name in RAWTEXT_ELEMENTS
+        for c in node.children:
+            _serialize(c, out, raw)
+        out.append(f"</{node.name}>")
+    elif k == COMMENT:
+        out.append(f"<!--{node.text}-->")
+    elif k == DOCTYPE:
+        out.append(f"<!DOCTYPE {node.text}>")
+    elif k == PI:
+        out.append(f"<?{node.text}>")
+    else:  # DOCUMENT
+        for c in node.children:
+            _serialize(c, out, in_rawtext)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node(DOCUMENT)
+        self.stack: list[Node] = [self.root]
+        self.errors: list[str] = []
+
+    # html.parser lowercases tag and attribute names already.
+    def _make_element(self, tag: str, attrs: list[tuple[str, str | None]]) -> Node:
+        el = Node(ELEMENT, name=tag)
+        amap: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in amap:  # first occurrence wins (html5 spec)
+                amap[k] = v if v is not None else ""
+        el.attrs = amap
+        el.id = amap.get("id")
+        cls = amap.get("class")
+        if cls:
+            el.classes = frozenset(cls.split())
+        return el
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        el = self._make_element(tag, attrs)
+        self.stack[-1].append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.stack[-1].append(self._make_element(tag, attrs))
+
+    def handle_endtag(self, tag: str) -> None:
+        # Recover from mismatched end tags: pop to the nearest matching
+        # open element; ignore the end tag if none is open.
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == tag:
+                del self.stack[i:]
+                return
+        self.errors.append(f"unmatched end tag </{tag}>")
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].append(Node(TEXT, text=data))
+
+    def handle_comment(self, data: str) -> None:
+        self.stack[-1].append(Node(COMMENT, text=data))
+
+    def handle_decl(self, decl: str) -> None:
+        # decl is e.g. "DOCTYPE html" — store the name part.
+        name = decl.split(None, 1)[1] if " " in decl else decl
+        self.stack[-1].append(Node(DOCTYPE, text=name))
+
+    def handle_pi(self, data: str) -> None:
+        self.stack[-1].append(Node(PI, text=data.rstrip("?")))
+
+    def error(self, message: str) -> None:  # pragma: no cover
+        self.errors.append(message)
+
+
+class Html:
+    """Parsed document (reference: Html struct, html/mod.rs:24-34).
+
+    ``errors`` collects recoverable parse problems; parsing never
+    raises (html/mod.rs:19-22).
+    """
+
+    __slots__ = ("root", "errors")
+
+    def __init__(self, root: Node, errors: list[str]):
+        self.root = root
+        self.errors = errors
+
+    @classmethod
+    def parse_document(cls, html: str | bytes) -> "Html":
+        if isinstance(html, (bytes, bytearray)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        tb = _TreeBuilder()
+        try:
+            tb.feed(html)
+            tb.close()
+        except Exception as exc:  # never fatal
+            tb.errors.append(str(exc))
+        return cls(tb.root, tb.errors)
+
+    def select(self, selector_str: str):
+        from swspark.extract.selectors import select
+
+        return select(self.root, selector_str)
+
+    def root_element(self) -> Node | None:
+        for c in self.root.children:
+            if c.kind == ELEMENT:
+                return c
+        return None

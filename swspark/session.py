@@ -1,0 +1,53 @@
+"""SparkSession factory with the confs this engine assumes.
+
+Local mode stands in for a multi-executor cluster (BASELINE.md evidence
+protocol): only ``master`` and the core-proportional shuffle partitions
+differ between the N and 4N runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "swspark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` uses ``SPARK_GRAFT_CPUS`` (default all cores).
+    ``shuffle_partitions`` defaults to the core count so small-scale
+    local runs don't pay 200-partition scheduling overhead; at cluster
+    scale the caller sets it to ~2-3x total cores.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        # AQE: runtime coalesce + skew-join split; our salting handles
+        # pre-join placement skew, AQE handles residual post-shuffle skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow is the hot path for every extraction/robots/bloom UDF.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Driver-side collects are tiny (manifests, traces); keep results small.
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
