@@ -1,0 +1,367 @@
+"""Batch-wave crawl driver.
+
+Reimagines the reference's concurrent pipeline
+(crawl_site, crawler.rs:216-441: crawler ∥ downloader ∥ scrape workers
+∥ CSV writer, quiescence watchdog) as a **driver-sequenced wave DAG**
+(SURVEY.md §1.3, §3.1):
+
+    seeds -> expand (A21) ->:  per wave:
+        schedule (window-rank under politeness budgets, A23-A25)
+        fetch    (frontier |x| pages, A1)
+        extract  (Arrow UDF: records + sendUrl discovery, A32/A22)
+        commit   (snapshot frontier/seen/records + lineage, A30 flush)
+    until the schedulable frontier is empty (quiescence, A28) or a
+    wave/URL budget is hit.
+
+Invariants:
+- no URL is fetched twice across waves/resume (engine-introduced
+  seen-set; the reference lacks one — SURVEY.md §2 Part B);
+- scheduling order is deterministic: (priority DESC, last_fetch_ts
+  ASC, url ASC) per host, budget = f(wave_period, crawl_delay);
+- every wave commit is atomic; resume from CURRENT reproduces the
+  uninterrupted run byte-for-byte (tested).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from swspark import urlnorm
+from swspark.extract.specs import SPECS
+from swspark.extract.udf import apply_extraction
+from swspark.fetch import fetch_pages
+from swspark.robots import build_robots_table, make_allowed_udf, parse_robots
+from swspark.scheduler import Throttle, salted_repartition, schedule_wave
+from swspark.seen import (
+    BloomFilter,
+    build_filter_shards,
+    filter_new_urls,
+    load_shards,
+    with_url_identity,
+)
+from swspark.sitemaps import expand_sitemaps
+from swspark.tables import SnapshotTable
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("url_canon", StringType()),
+        StructField("url_hash", LongType()),
+        StructField("host", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("last_fetch_ts", TimestampType()),
+        StructField("discovered_wave", IntegerType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    """Engine knobs (reference: CrawlerConfig, config.rs:6-47; CLI >
+    Lua > defaults precedence becomes plain Python kwargs)."""
+
+    spec: str = "fulltext"
+    user_agent: str = "SWSbot"
+    wave_period: float = 10.0
+    throttle: Throttle = field(default_factory=Throttle)
+    max_waves: int = 100
+    max_urls_per_wave: int | None = None
+    n_seen_buckets: int = 16
+    bloom_bits_per_bucket: int = 1 << 20  # fixed-size -> mergeable deltas
+    bloom_k: int = 7
+    on_dl_error: str = "skip"  # OnError::{Fail, SkipAndLog} (config.rs:81-86)
+    on_xml_error: str = "skip"
+    on_scrap_error: str = "skip"
+    robot_url: str | None = None  # explicit robots override (config.rs:44-46)
+    salt_buckets: int = 8
+    shuffle_partitions: int | None = None
+
+
+class CrawlState:
+    """Warehouse handles: one SnapshotTable per state relation."""
+
+    def __init__(self, warehouse: str):
+        self.frontier = SnapshotTable(os.path.join(warehouse, "frontier"))
+        self.seen = SnapshotTable(os.path.join(warehouse, "seen"))
+        self.records = SnapshotTable(os.path.join(warehouse, "records"))
+        self.trace = SnapshotTable(os.path.join(warehouse, "trace"))
+        self.discovered = SnapshotTable(os.path.join(warehouse, "discovered"))
+        self.errors = SnapshotTable(os.path.join(warehouse, "errors"))
+
+
+def _frontier_rows(df: DataFrame, wave: int) -> DataFrame:
+    """Normalize a (url) DataFrame into frontier schema rows."""
+    out = with_url_identity(df.select("url"))
+    return (
+        out.withColumn("host", urlnorm.url_host(F.col("url")))
+        .withColumn("priority", F.lit(0))
+        .withColumn("last_fetch_ts", F.lit(None).cast("timestamp"))
+        .withColumn("discovered_wave", F.lit(wave))
+        .dropDuplicates(["url_canon"])
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
+    )
+
+
+def init_frontier(
+    spark: SparkSession,
+    config: CrawlConfig,
+    seeds: DataFrame,
+    sitemaps: DataFrame,
+    robots: DataFrame,
+    accept=None,
+):
+    """Seed resolution (scraper.rs:106-117: exactly one seed kind) +
+    sitemap expansion into the wave-0 frontier."""
+    kinds = [r.seed_kind for r in seeds.select("seed_kind").distinct().collect()]
+    if len(kinds) != 1:
+        raise ValueError(f"exactly one seed kind required, got {kinds}")
+    kind = kinds[0]
+
+    if kind == "ROBOTS_TXT":
+        if config.robot_url is not None:
+            # crawler.rs:229-231 (tested in tests/validate.rs:3-38)
+            raise ValueError("Seed::RobotsTxt conflicts with an explicit robot config")
+        hosts = seeds.select(
+            urlnorm.url_host(F.col("seed")).alias("host")
+        ).distinct()
+        bodies = hosts.join(robots, "host", "left").select("host", "body").collect()
+        sm_urls = []
+        for r in bodies:
+            rb = parse_robots(r.body or "", config.user_agent)
+            sm_urls.extend(rb.sitemaps)  # crawler.rs:347-365
+        seed_sm = spark.createDataFrame(
+            [(u,) for u in sm_urls], "sitemap_url string"
+        )
+        res = expand_sitemaps(
+            spark, seed_sm, sitemaps, accept=accept,
+            on_xml_error=config.on_xml_error,
+        )
+        frontier_urls = res.frontier.select("url")
+        xml_errors = res.errors
+    elif kind == "SITEMAPS":
+        seed_sm = seeds.select(F.col("seed").alias("sitemap_url"))
+        res = expand_sitemaps(
+            spark, seed_sm, sitemaps, accept=accept,
+            on_xml_error=config.on_xml_error,
+        )
+        frontier_urls = res.frontier.select("url")
+        xml_errors = res.errors
+    elif kind == "PAGES":
+        frontier_urls = seeds.select(F.col("seed").alias("url"))
+        xml_errors = seeds.limit(0).select(
+            F.col("seed").alias("sitemap_url"), F.lit("").alias("error")
+        )
+    else:
+        raise ValueError(f"unknown seed kind {kind!r}")
+
+    return _frontier_rows(frontier_urls, wave=0), xml_errors
+
+
+def crawl(
+    spark: SparkSession,
+    config: CrawlConfig,
+    warehouse: str,
+    seeds: DataFrame,
+    sitemaps: DataFrame,
+    robots: DataFrame,
+    pages: DataFrame,
+    accept=None,
+    resume: bool = False,
+) -> dict:
+    """Run the wave loop; returns summary metrics. State lives in
+    ``warehouse`` (snapshot tables) and is resumable."""
+    state = CrawlState(warehouse)
+    robots_table, rules = build_robots_table(spark, robots, config.user_agent)
+    robots_table = robots_table.cache()
+    allowed_udf = make_allowed_udf(spark, rules)
+
+    def robots_filter(df: DataFrame) -> DataFrame:
+        path = urlnorm.url_path_query(F.col("url"))
+        return df.where(allowed_udf(F.col("host"), path))
+
+    if resume and state.frontier.exists():
+        frontier = state.frontier.read(spark)
+        wave = state.frontier.manifest()["lineage"]["next_wave"]
+        seen_df = (
+            state.seen.read(spark)
+            if state.seen.exists()
+            else spark.createDataFrame([], "url_hash long, url_canon string, wave int")
+        )
+        blooms = _rebuild_blooms(spark, state, seen_df, config)
+    else:
+        frontier, xml_errors = init_frontier(
+            spark, config, seeds, sitemaps, robots, accept
+        )
+        frontier = robots_filter(frontier)
+        wave = 0
+        state.frontier.commit(
+            frontier, mode="overwrite", lineage={"next_wave": 0, "phase": "seeded"}
+        )
+        frontier = state.frontier.read(spark)
+        seen_df = spark.createDataFrame([], "url_hash long, url_canon string, wave int")
+        blooms: dict[int, BloomFilter] = {}
+        if xml_errors is not None:
+            state.errors.commit(
+                xml_errors.select(
+                    F.lit(-1).alias("wave"),
+                    F.col("sitemap_url").alias("url"),
+                    F.lit("xml").alias("stage"),
+                    "error",
+                ),
+                mode="overwrite",
+            )
+
+    spec = SPECS[config.spec]
+    totals = {"waves": 0, "fetched": 0, "records": 0, "discovered": 0, "errors": 0}
+
+    while wave < config.max_waves:
+        scheduled = schedule_wave(
+            frontier,
+            robots_table.select(F.col("host"), "crawl_delay"),
+            config.wave_period,
+            config.throttle,
+            config.max_urls_per_wave,
+        )
+        scheduled = salted_repartition(
+            scheduled,
+            spark.sparkContext.defaultParallelism,
+            config.salt_buckets,
+        ).cache()
+        n_sched = scheduled.count()
+        if n_sched == 0:
+            break  # quiescence (A28)
+
+        fetched, dl_errs, obs = fetch_pages(
+            scheduled, pages, on_dl_error=config.on_dl_error
+        )
+        rec, disc, scrap_errs = apply_extraction(fetched, spec)
+        rec = rec.withColumn("wave", F.lit(wave))
+
+        # --- commit records + trace + errors --------------------------
+        state.records.commit(rec, mode="append", lineage={"wave": wave})
+        state.trace.commit(
+            scheduled.select(
+                F.lit(wave).alias("wave"), "host", "url", "rank"
+            ),
+            mode="append",
+            lineage={"wave": wave},
+        )
+        err_all = dl_errs.select(
+            F.lit(wave).alias("wave"), "url", F.lit("download").alias("stage"), "error"
+        ).unionByName(
+            scrap_errs.select(
+                F.lit(wave).alias("wave"), "url", F.lit("scrape").alias("stage"),
+                "error",
+            )
+        )
+        n_errors = err_all.count()
+        if n_errors and (config.on_dl_error == "fail" or config.on_scrap_error == "fail"):
+            raise RuntimeError(f"wave {wave}: {n_errors} errors with fail policy")
+        state.errors.commit(err_all, mode="append", lineage={"wave": wave})
+
+        # --- update seen (attempted URLs count as seen; 404s are not
+        # retried forever, matching "scheduled+fetched" accounting) ----
+        seen_delta = scheduled.select(
+            "url_hash", "url_canon", F.lit(wave).alias("wave")
+        )
+        state.seen.commit(seen_delta, mode="append", lineage={"wave": wave})
+        seen_df = state.seen.read(spark)
+        blooms = _merge_bloom_delta(spark, blooms, seen_delta, config)
+
+        # --- discovered URLs -> next frontier (sendUrl feedback, A22) --
+        disc_new = _frontier_rows(
+            disc.select(F.col("discovered_url").alias("url")), wave + 1
+        )
+        disc_new = robots_filter(disc_new)
+        disc_new = filter_new_urls(spark, disc_new, seen_df, blooms,
+                                   config.n_seen_buckets)
+        state.discovered.commit(
+            disc.select(F.lit(wave).alias("wave"), "url", "discovered_url"),
+            mode="append",
+            lineage={"wave": wave},
+        )
+
+        # --- next frontier: remove attempted, add discovered ----------
+        remaining = frontier.join(
+            seen_df.select("url_canon"), "url_canon", "left_anti"
+        )
+        next_frontier = remaining.unionByName(
+            disc_new.join(
+                frontier.select("url_canon"), "url_canon", "left_anti"
+            )
+        ).dropDuplicates(["url_canon"])
+
+        m = obs.get
+        lineage = {
+            "next_wave": wave + 1,
+            "wave": wave,
+            "scheduled": n_sched,
+            "pages_in": m["pages_in"],
+            "pages_out": m["pages_out"],
+            "errors": n_errors,
+            "seen_version": state.seen.current_version(),
+        }
+        state.frontier.commit(next_frontier, mode="overwrite", lineage=lineage)
+        frontier = state.frontier.read(spark)
+        scheduled.unpersist()
+
+        totals["waves"] += 1
+        totals["fetched"] += m["pages_out"]
+        totals["records"] += 0  # counted lazily below
+        totals["discovered"] += 0
+        totals["errors"] += n_errors
+        wave += 1
+
+    totals["records"] = (
+        state.records.read(spark).count() if state.records.exists() else 0
+    )
+    totals["seen"] = state.seen.read(spark).count() if state.seen.exists() else 0
+    return totals
+
+
+def _rebuild_blooms(
+    spark: SparkSession, state: CrawlState, seen_df: DataFrame, config: CrawlConfig
+) -> dict[int, BloomFilter]:
+    """Full rebuild from the exact seen table (resume path; SURVEY.md
+    §7 risk 3 — shard version mismatch falls back to exact rebuild)."""
+    if seen_df.isEmpty():
+        return {}
+    shards = build_filter_shards(seen_df, config.n_seen_buckets)
+    return load_shards(shards)
+
+
+def _merge_bloom_delta(
+    spark: SparkSession,
+    blooms: dict[int, BloomFilter],
+    delta: DataFrame,
+    config: CrawlConfig,
+) -> dict[int, BloomFilter]:
+    """Incremental per-wave shard update: only buckets touched by the
+    delta are modified; fixed (m, k) keeps merges valid."""
+    import numpy as np
+
+    rows = delta.select("url_hash").collect()
+    if not rows:
+        return blooms
+    h = np.array([r.url_hash for r in rows], dtype=np.int64)
+    buckets = np.mod(h, config.n_seen_buckets)
+    buckets = np.where(buckets < 0, buckets + config.n_seen_buckets, buckets)
+    for b in np.unique(buckets):
+        bf = blooms.get(int(b))
+        if bf is None:
+            bf = BloomFilter(config.bloom_bits_per_bucket, config.bloom_k)
+            blooms[int(b)] = bf
+        bf.add_many(h[buckets == b])
+    return blooms

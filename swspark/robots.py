@@ -1,0 +1,211 @@
+"""robots.txt parsing + vectorized politeness checks.
+
+The reference delegates to the ``texting_robots`` crate
+(crawler.rs:228-247): build a Robot for the configured User-Agent,
+exposing ``allowed(url)``, ``delay`` (Crawl-delay) and ``sitemaps``.
+This module reimplements that surface as a pure-Python RFC 9309
+subset parser applied per-host:
+
+- group selection: longest user-agent token match, ``*`` fallback;
+- path rules: ``*`` wildcard and ``$`` end anchor, longest-pattern
+  (most-specific) wins, Allow wins ties (RFC 9309 §2.2.2);
+- ``Crawl-delay`` (non-RFC, honored like texting_robots) and global
+  ``Sitemap:`` lines (robots-seed mode, crawler.rs:347-365).
+
+Unlike sws — where robots ``allowed`` is opt-in for scripts
+(interop.rs:231-234) and never auto-applied — this engine applies it
+during scheduling (north rule makes politeness first-class). Parsed
+rules live in a small per-host table; the frontier joins it broadcast
+and the match runs in a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from swspark import urlnorm
+
+
+def _pattern_to_regex(pattern: str) -> re.Pattern:
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    rx = ".*".join(parts)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+@dataclass
+class RobotRules:
+    """Parsed rules for one (host, user-agent) pair. Picklable —
+    shipped to executors inside UDF closures/broadcasts."""
+
+    # (is_allow, pattern_len, compiled) sorted by pattern_len desc
+    rules: list[tuple[bool, int, re.Pattern]] = field(default_factory=list)
+    crawl_delay: float | None = None
+    sitemaps: list[str] = field(default_factory=list)
+
+    def allowed(self, path: str) -> bool:
+        if not path:
+            path = "/"
+        for is_allow, _plen, rx in self.rules:
+            if rx.match(path):
+                return is_allow
+        return True  # no match -> allowed (RFC 9309 §2.2.2)
+
+
+def parse_robots(body: str, user_agent: str = "SWSbot") -> RobotRules:
+    """Parse a robots.txt for the given product token."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, str]], float | None]] = []
+    sitemaps: list[str] = []
+
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    cur_delay: float | None = None
+    in_group_body = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay, in_group_body
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+        in_group_body = False
+
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                flush()
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            if val or key == "disallow":
+                # empty Disallow = allow everything (no rule)
+                if val:
+                    cur_rules.append((key, val))
+        elif key == "crawl-delay":
+            in_group_body = True
+            try:
+                cur_delay = float(val)
+            except ValueError:
+                pass
+        elif key == "sitemap":
+            sitemaps.append(val)
+        else:
+            in_group_body = True  # unknown directive: part of group body
+    flush()
+
+    # pick the group with the longest matching UA token; '*' fallback
+    best: tuple[int, list[tuple[str, str]], float | None] | None = None
+    star: tuple[list[tuple[str, str]], float | None] | None = None
+    for agents, rules, delay in groups:
+        for a in agents:
+            if a == "*":
+                if star is None:
+                    star = (rules, delay)
+            elif a in ua or ua in a:
+                if best is None or len(a) > best[0]:
+                    best = (len(a), rules, delay)
+    if best is not None:
+        rules, delay = best[1], best[2]
+    elif star is not None:
+        rules, delay = star
+    else:
+        rules, delay = [], None
+
+    compiled = [
+        (key == "allow", len(pattern), _pattern_to_regex(pattern))
+        for key, pattern in rules
+    ]
+    compiled.sort(key=lambda t: (-t[1], not t[0]))
+    return RobotRules(rules=compiled, crawl_delay=delay, sitemaps=sitemaps)
+
+
+ROBOTS_TABLE_TYPE = StructType(
+    [
+        StructField("crawl_delay", DoubleType()),
+        StructField("sitemaps", ArrayType(StringType())),
+    ]
+)
+
+
+def build_robots_table(
+    spark: SparkSession, robots: DataFrame, user_agent: str = "SWSbot"
+) -> tuple[DataFrame, dict[str, RobotRules]]:
+    """robots(host, body) -> (host, crawl_delay, sitemaps) DataFrame
+    plus the {host: RobotRules} dict for the allowed-UDF closure.
+
+    The robots table is per-host — even at 10^10 URLs the host count
+    is ~10^7; the parsed-rules dict is only used for path matching and
+    is distributed via Spark broadcast to stay off the driver hot path.
+    """
+
+    @F.pandas_udf(ROBOTS_TABLE_TYPE)
+    def meta_udf(body: pd.Series) -> pd.DataFrame:
+        delays, sms = [], []
+        for b in body:
+            r = parse_robots(b or "", user_agent)
+            delays.append(r.crawl_delay)
+            sms.append(r.sitemaps)
+        return pd.DataFrame({"crawl_delay": delays, "sitemaps": sms})
+
+    table = robots.select(
+        "host", meta_udf(F.col("body")).alias("m")
+    ).select("host", "m.crawl_delay", "m.sitemaps")
+
+    # driver-side parse for the matcher dict (host count is small in
+    # fixtures; at scale this would itself be a distributed collect of
+    # only hosts present in the current wave)
+    rules = {
+        r["host"]: parse_robots(r["body"] or "", user_agent)
+        for r in robots.select("host", "body").collect()
+    }
+    return table, rules
+
+
+def make_allowed_udf(spark: SparkSession, rules_by_host: dict[str, RobotRules]):
+    """Vectorized robots-allowed check: (host, path) -> bool.
+    Unknown host -> allowed (no robots.txt = no restrictions)."""
+    bc = spark.sparkContext.broadcast(rules_by_host)
+
+    @F.pandas_udf("boolean")
+    def allowed(host: pd.Series, path: pd.Series) -> pd.Series:
+        rb = bc.value
+        out = []
+        for h, p in zip(host, path):
+            r = rb.get(h)
+            out.append(True if r is None else r.allowed(p or "/"))
+        return pd.Series(out)
+
+    return allowed
+
+
+def robots_allowed_frontier(
+    spark: SparkSession,
+    frontier: DataFrame,
+    rules_by_host: dict[str, RobotRules],
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Filter a frontier to robots-allowed URLs."""
+    allowed = make_allowed_udf(spark, rules_by_host)
+    path = urlnorm.url_path_query(F.col(url_col))
+    return frontier.where(allowed(F.col(host_col), path))

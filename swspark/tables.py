@@ -1,0 +1,121 @@
+"""Snapshot-parquet table layer — Iceberg-style semantics without the
+Iceberg runtime jar (unavailable offline; SURVEY.md §4).
+
+A ``SnapshotTable`` is a directory:
+
+    <root>/
+      data/<snapshot-uuid>/part-*.parquet     (immutable data dirs)
+      snapshots/v{N:06d}.json                 (manifest per snapshot)
+      CURRENT                                 (pointer file)
+
+Each manifest records: version, parent version, the list of data dirs
+that make up the snapshot (append = parent dirs + new dir; overwrite
+= new dir only), row count, and arbitrary **lineage** (wave id,
+frontier offset, seen-shard versions, fetch counters — the north
+rule's per-partition lineage). Commits are atomic: data is written
+first, then the manifest and the CURRENT pointer land via
+write-temp + ``os.replace`` (POSIX-atomic), so a crash between steps
+leaves the previous snapshot intact (SURVEY.md §7 risk 5). Reads are
+by snapshot id (time travel) or CURRENT.
+
+A real Iceberg catalog drops in behind the same four calls
+(``commit`` / ``read`` / ``history`` / ``current_version``) via
+``spark.sql.catalog.*`` when jars are available.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # --- internals ---------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "snapshots", f"v{version:06d}.json")
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "CURRENT")
+
+    def _write_atomic(self, path: str, payload: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, path)
+
+    # --- API ----------------------------------------------------------
+    def current_version(self) -> int | None:
+        try:
+            with open(self._current_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def manifest(self, version: int | None = None) -> dict | None:
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return None
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        out = []
+        v = self.current_version()
+        while v is not None:
+            m = self.manifest(v)
+            out.append(m)
+            v = m.get("parent")
+        return out
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        lineage: dict | None = None,
+    ) -> int:
+        """Write df as a new snapshot; returns the new version id."""
+        assert mode in ("append", "overwrite")
+        data_dir = os.path.join("data", uuid.uuid4().hex)
+        abs_dir = os.path.join(self.root, data_dir)
+        df.write.mode("overwrite").parquet(abs_dir)
+
+        parent = self.current_version()
+        parent_m = self.manifest(parent) if parent is not None else None
+        if mode == "append" and parent_m is not None:
+            dirs = parent_m["data_dirs"] + [data_dir]
+        else:
+            dirs = [data_dir]
+        version = (parent + 1) if parent is not None else 0
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "data_dirs": dirs,
+            "committed_at": time.time(),
+            "lineage": lineage or {},
+        }
+        # manifest first, pointer last — a crash in between leaves
+        # CURRENT at the parent and the orphan manifest is harmless
+        self._write_atomic(self._manifest_path(version), json.dumps(manifest))
+        self._write_atomic(self._current_path(), str(version))
+        return version
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        paths = [os.path.join(self.root, d) for d in m["data_dirs"]]
+        return spark.read.parquet(*paths)
+
+    def exists(self) -> bool:
+        return self.current_version() is not None

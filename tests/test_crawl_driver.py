@@ -1,0 +1,204 @@
+"""Crawl-driver integration tests (SURVEY.md §5 items 3-5): golden
+crawl-order traces, seen-set dedup law, checkpoint/resume equality."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from swspark.driver import CrawlConfig, CrawlState, crawl
+from swspark.fixtures import generate_corpus
+
+WAVE_PERIOD = 10.0
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus("tiny")
+
+
+@pytest.fixture(scope="module")
+def tables(spark, corpus):
+    return {
+        "pages": spark.createDataFrame(corpus.pages),
+        "sitemaps": spark.createDataFrame(corpus.sitemaps),
+        "robots": spark.createDataFrame(corpus.robots[["host", "body"]]),
+        "seeds": spark.createDataFrame(corpus.seeds),
+    }
+
+
+def scenario_seeds(tables, scenario):
+    return tables["seeds"].where(F.col("scenario") == scenario)
+
+
+def accept_term(url, kind):
+    return F.when(kind == "URLSET", url.contains("term=")).otherwise(F.lit(True))
+
+
+def run_crawl(spark, tables, scenario, warehouse, spec, accept=None, **kw):
+    cfg = CrawlConfig(spec=spec, wave_period=WAVE_PERIOD, **kw)
+    return cfg, crawl(
+        spark,
+        cfg,
+        str(warehouse),
+        scenario_seeds(tables, scenario),
+        tables["sitemaps"],
+        tables["robots"],
+        tables["pages"],
+        accept=accept,
+    )
+
+
+def expected_trace(urls_by_host: dict[str, list[str]], delays: dict[str, float]):
+    """Independent (pandas-free) scheduling simulation: budget =
+    max(1, floor(period/delay)); rank order = url ASC (equal priority,
+    null last_fetch_ts); URLs leave the frontier once scheduled."""
+    remaining = {h: sorted(set(us)) for h, us in urls_by_host.items()}
+    trace = []
+    wave = 0
+    while any(remaining.values()):
+        for h in sorted(remaining):
+            budget = max(1, math.floor(WAVE_PERIOD / delays[h]))
+            batch = remaining[h][:budget]
+            remaining[h] = remaining[h][budget:]
+            for rank, u in enumerate(batch, start=1):
+                trace.append((wave, h, u, rank))
+        wave += 1
+    return pd.DataFrame(trace, columns=["wave", "host", "url", "rank"])
+
+
+def test_dict_crawl_golden_trace_and_dedup(spark, corpus, tables, tmp_path):
+    cfg, totals = run_crawl(
+        spark, tables, "dict_sitemap", tmp_path / "w1", "urbandict",
+        accept=accept_term,
+    )
+    state = CrawlState(str(tmp_path / "w1"))
+    trace = state.trace.read(spark).toPandas()
+
+    # dedup law: no URL scheduled twice despite 5% duplicate sitemap
+    # entries (FIXTURES.md §2)
+    assert trace.url.is_unique
+
+    # golden trace: all accepted dict term urls (incl 404s, which are
+    # attempted once), ranked by url per wave under budget 10/0.5=20
+    dict_urls = sorted(
+        u
+        for u in set(
+            corpus.golden_urbandict.url.tolist() + corpus.missing_urls
+        )
+    )
+    delays = dict(zip(corpus.robots.host, corpus.robots.crawl_delay))
+    exp = expected_trace({"dict.example.test": dict_urls}, delays)
+    got = trace.sort_values(["wave", "host", "url"]).reset_index(drop=True)
+    exp = exp.sort_values(["wave", "host", "url"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["wave", "host", "url", "rank"]].astype({"wave": int, "rank": int}),
+        exp.astype({"wave": int, "rank": int}),
+    )
+
+    # records match goldens
+    rec = state.records.read(spark).drop("wave").toPandas()
+    exp_rec = corpus.golden_urbandict
+    key = ["url", "def_index"]
+    pd.testing.assert_frame_equal(
+        rec.sort_values(key).reset_index(drop=True)[exp_rec.columns.tolist()],
+        exp_rec.sort_values(key).reset_index(drop=True),
+    )
+
+    # 404 accounting: one download error, attempted exactly once
+    errs = state.errors.read(spark).toPandas()
+    dl = errs[errs.stage == "download"]
+    assert sorted(dl.url) == sorted(corpus.missing_urls)
+
+
+def test_wiki_crawl_discovery_and_budgets(spark, corpus, tables, tmp_path):
+    cfg, totals = run_crawl(
+        spark, tables, "wiki_pages", tmp_path / "w2", "fandom"
+    )
+    state = CrawlState(str(tmp_path / "w2"))
+    trace = state.trace.read(spark).toPandas()
+    assert trace.url.is_unique
+
+    # wave 0 = the 7 faction seeds; creatures appear only later
+    w0 = trace[trace.wave == 0]
+    assert len(w0) == 7
+    assert all("_(H7)" in u for u in w0.url)
+
+    # budget: wiki crawl_delay=1.0 -> 10/wave; 28 creatures -> waves 1-3
+    delays = dict(zip(corpus.robots.host, corpus.robots.crawl_delay))
+    budget = max(1, math.floor(WAVE_PERIOD / delays["wiki.example.test"]))
+    later = trace[trace.wave > 0]
+    assert later.groupby("wave").size().max() <= budget
+    assert set(later.url) == set(corpus.golden_fandom_urls.discovered_url)
+
+    # all creature records extracted across waves
+    rec = state.records.read(spark).toPandas()
+    assert len(rec) == len(corpus.golden_fandom)
+
+
+def test_news_multihost_budgets(spark, corpus, tables, tmp_path):
+    cfg, totals = run_crawl(
+        spark, tables, "news_sitemaps", tmp_path / "w3", "fulltext"
+    )
+    state = CrawlState(str(tmp_path / "w3"))
+    trace = state.trace.read(spark).toPandas()
+    delays = dict(zip(corpus.robots.host, corpus.robots.crawl_delay))
+    news_urls = {
+        h: [u for u in corpus.pages.url if h in u]
+        for h in delays
+        if h.startswith("news")
+    }
+    exp = expected_trace(news_urls, delays)
+    got = trace.sort_values(["wave", "host", "url"]).reset_index(drop=True)
+    exp = exp.sort_values(["wave", "host", "url"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["wave", "host", "url", "rank"]].astype({"wave": int, "rank": int}),
+        exp.astype({"wave": int, "rank": int}),
+    )
+
+
+def test_resume_equals_uninterrupted(spark, corpus, tables, tmp_path):
+    """Kill after wave 2, resume -> identical records/seen/trace."""
+    _, t_full = run_crawl(
+        spark, tables, "wiki_pages", tmp_path / "full", "fandom"
+    )
+    cfg = CrawlConfig(spec="fandom", wave_period=WAVE_PERIOD, max_waves=2)
+    crawl(
+        spark, cfg, str(tmp_path / "part"),
+        scenario_seeds(tables, "wiki_pages"), tables["sitemaps"],
+        tables["robots"], tables["pages"],
+    )
+    cfg2 = CrawlConfig(spec="fandom", wave_period=WAVE_PERIOD)
+    crawl(
+        spark, cfg2, str(tmp_path / "part"),
+        scenario_seeds(tables, "wiki_pages"), tables["sitemaps"],
+        tables["robots"], tables["pages"], resume=True,
+    )
+    sf = CrawlState(str(tmp_path / "full"))
+    sp = CrawlState(str(tmp_path / "part"))
+    for name, key in (
+        ("trace", ["wave", "host", "url"]),
+        ("seen", ["url_canon"]),
+        ("records", ["url", "creature"]),
+    ):
+        a = getattr(sf, name).read(spark).toPandas().sort_values(key).reset_index(drop=True)
+        b = getattr(sp, name).read(spark).toPandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_robots_disallow_enforced(spark, corpus, tables, tmp_path):
+    """A frontier URL under a Disallow prefix must never be scheduled."""
+    seeds = spark.createDataFrame(
+        [("https://news0.example.test/private/secret", "PAGES", "x"),
+         ("https://news0.example.test/articles/000001", "PAGES", "x")],
+        "seed string, seed_kind string, scenario string",
+    )
+    cfg = CrawlConfig(spec="fulltext", wave_period=WAVE_PERIOD)
+    crawl(
+        spark, cfg, str(tmp_path / "w4"), seeds, tables["sitemaps"],
+        tables["robots"], tables["pages"],
+    )
+    state = CrawlState(str(tmp_path / "w4"))
+    urls = [r.url for r in state.trace.read(spark).select("url").collect()]
+    assert urls == ["https://news0.example.test/articles/000001"]

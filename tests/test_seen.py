@@ -1,0 +1,134 @@
+"""Seen-set law tests (SURVEY.md §5 item 4): Bloom has no false
+negatives and bounded FPR; cuckoo supports delete; the distributed
+filter_new_urls never drops a new URL and never passes a seen one."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from swspark.seen import BloomFilter, CuckooFilter
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives(xs):
+    bf = BloomFilter.sized_for(len(xs), 0.01)
+    arr = np.array(xs, dtype=np.int64)
+    bf.add_many(arr)
+    if len(xs):
+        assert bf.contains_many(arr).all()
+
+
+def test_bloom_fpr_bound():
+    rng = np.random.default_rng(42)
+    n = 20_000
+    members = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+    bf = BloomFilter.sized_for(n, 0.01)
+    bf.add_many(members)
+    probes = rng.integers(-(2**62), 2**62, 100_000, dtype=np.int64)
+    probes = np.setdiff1d(probes, members)
+    fpr = bf.contains_many(probes).mean()
+    assert fpr < 0.02, fpr  # 2x sized-for bound
+
+
+def test_bloom_serialization_roundtrip():
+    bf = BloomFilter.sized_for(100, 0.01)
+    arr = np.arange(100, dtype=np.int64) * 7919
+    bf.add_many(arr)
+    bf2 = BloomFilter.from_bytes(bf.m, bf.k, bf.to_bytes())
+    assert bf2.contains_many(arr).all()
+
+
+def test_bloom_merge():
+    a = BloomFilter(1024, 3)
+    b = BloomFilter(1024, 3)
+    xa = np.arange(50, dtype=np.int64)
+    xb = np.arange(50, 100, dtype=np.int64)
+    a.add_many(xa)
+    b.add_many(xb)
+    a.merge(b)
+    assert a.contains_many(np.arange(100, dtype=np.int64)).all()
+
+
+def test_cuckoo_insert_contains_delete():
+    cf = CuckooFilter.sized_for(1000)
+    arr = (np.arange(1000, dtype=np.int64) * 104729) % (2**31)
+    failed = cf.insert_many(arr)
+    assert failed == 0
+    assert cf.contains_many(arr).all()
+    # delete half, they must disappear; other half must remain
+    cf.delete_many(arr[:500])
+    assert not cf.contains_many(arr[:500]).any() or (
+        # fingerprint collisions can keep a few "present"; bound it
+        cf.contains_many(arr[:500]).mean() < 0.05
+    )
+    assert cf.contains_many(arr[500:]).all()
+
+
+def test_cuckoo_fpr_small():
+    cf = CuckooFilter.sized_for(10_000)
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**62, 10_000, dtype=np.int64)
+    cf.insert_many(members)
+    probes = rng.integers(0, 2**62, 50_000, dtype=np.int64)
+    probes = np.setdiff1d(probes, members)
+    assert cf.contains_many(probes).mean() < 0.01
+
+
+def test_cuckoo_serialization_roundtrip():
+    cf = CuckooFilter.sized_for(100)
+    arr = np.arange(100, dtype=np.int64)
+    cf.insert_many(arr)
+    cf2 = CuckooFilter.from_bytes(cf.n_buckets, cf.to_bytes())
+    assert cf2.contains_many(arr).all()
+
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def seen_tables(spark):
+    from pyspark.sql import functions as F
+
+    from swspark.seen import build_filter_shards, load_shards, with_url_identity
+
+    urls = [f"https://news{i % 4}.example.test/articles/{i:06d}" for i in range(400)]
+    seen = with_url_identity(
+        spark.createDataFrame([(u,) for u in urls], "url string")
+    ).select("url", "url_canon", "url_hash")
+    shards_df = build_filter_shards(seen, N_BUCKETS)
+    blooms = load_shards(shards_df)
+    return seen, blooms, urls
+
+
+def test_filter_new_urls_exact(spark, seen_tables):
+    from swspark.seen import filter_new_urls, with_url_identity
+
+    seen, blooms, urls = seen_tables
+    assert len(blooms) <= N_BUCKETS
+    # candidates: 100 seen + 100 new (+ one seen-but-different-case url
+    # that canonicalization must equate)
+    cand_urls = (
+        urls[:100]
+        + [f"https://newX.example.test/fresh/{i}" for i in range(100)]
+        + ["HTTPS://NEWS0.EXAMPLE.TEST/articles/000000"]
+    )
+    cand = with_url_identity(
+        spark.createDataFrame([(u,) for u in cand_urls], "url string")
+    )
+    new = filter_new_urls(spark, cand, seen, blooms, N_BUCKETS)
+    got = sorted(r.url for r in new.collect())
+    assert len(got) == 100
+    assert all("fresh" in u for u in got)
+
+
+def test_filter_new_urls_no_blooms_falls_back_to_join(spark, seen_tables):
+    from swspark.seen import filter_new_urls, with_url_identity
+
+    seen, _blooms, urls = seen_tables
+    cand = with_url_identity(
+        spark.createDataFrame([(urls[0],), ("https://zz.test/new",)], "url string")
+    )
+    new = filter_new_urls(spark, cand, seen, None, N_BUCKETS)
+    assert [r.url for r in new.collect()] == ["https://zz.test/new"]
