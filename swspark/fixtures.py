@@ -509,7 +509,12 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name in ("pages", "sitemaps", "robots", "seeds",
                  "golden_urbandict", "golden_fandom", "golden_fandom_urls"):
-        getattr(corpus, name).to_parquet(os.path.join(out_dir, f"{name}.parquet"))
+        df = getattr(corpus, name).copy()
+        for col in df.columns:
+            if str(df[col].dtype).startswith("datetime64[ns"):
+                # Spark can't scan nano-precision parquet timestamps
+                df[col] = df[col].astype("datetime64[us]")
+        df.to_parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
 def ensure_corpus(out_dir: str, scale: str = "tiny", seed: int = SEED) -> str:
