@@ -1,0 +1,144 @@
+"""CLI mirroring the reference's entry points (sws-cli,
+crates/sws-cli/src/main.rs:240-250):
+
+  python -m swspark crawl  — sitemap-seeded wave crawl -> records CSV
+  python -m swspark scrap  — offline batch scrape of stored pages or
+                             an HTML file glob -> records CSV
+
+A user of `sws crawl -s script.lua -o out.csv` runs
+`python -m swspark crawl --spec urbandict --pages pages.parquet ...
+-o out.csv`; the Lua script becomes a named, versioned extraction
+spec (SURVEY.md §2 A31-A33). CLI flags override config like the
+reference's CLI > Lua > defaults precedence (main.rs:120-150).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--spec", default="fulltext",
+                   help="extraction spec name (urbandict|fandom|fulltext)")
+    p.add_argument("-o", "--output", required=True, help="output CSV directory")
+    p.add_argument("--append", action="store_true",
+                   help="append to output (writer.rs:92-116 Append mode)")
+    p.add_argument("--delimiter", default=",")
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--on-scrap-error", choices=["skip", "fail"], default="skip")
+
+
+def cmd_crawl(args) -> int:
+    from swspark.driver import CrawlConfig, CrawlState, crawl
+    from swspark.scheduler import Throttle
+    from swspark.session import get_spark
+    from swspark.sink import write_csv
+
+    spark = get_spark("swspark-crawl", cores=args.cpus)
+    kind, _, val = (args.throttle or "concurrent:100").partition(":")
+    throttle = Throttle(
+        {"concurrent": "CONCURRENT", "per-second": "PER_SECOND",
+         "delay": "DELAY"}[kind],
+        float(val or 100),
+    )
+    cfg = CrawlConfig(
+        spec=args.spec,
+        user_agent=args.user_agent,
+        wave_period=args.wave_period,
+        throttle=throttle,
+        max_waves=args.max_waves,
+        max_urls_per_wave=args.max_urls_per_wave,
+        on_dl_error=args.on_dl_error,
+        on_xml_error=args.on_xml_error,
+        on_scrap_error=args.on_scrap_error,
+    )
+    seeds = spark.read.parquet(args.seeds)
+    if args.scenario:
+        seeds = seeds.where(F.col("scenario") == args.scenario)
+    warehouse = args.warehouse or tempfile.mkdtemp(prefix="swspark-wh-")
+    totals = crawl(
+        spark, cfg, warehouse, seeds,
+        spark.read.parquet(args.sitemaps),
+        spark.read.parquet(args.robots),
+        spark.read.parquet(args.pages),
+        resume=args.resume,
+    )
+    state = CrawlState(warehouse)
+    records = state.records.read(spark)
+    write_csv(records, args.output,
+              mode="append" if args.append else "overwrite",
+              delimiter=args.delimiter)
+    print(f"crawl done: {totals}; warehouse={warehouse}; csv={args.output}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_scrap(args) -> int:
+    from swspark.extract.udf import apply_extraction
+    from swspark.session import get_spark
+    from swspark.sink import write_csv
+    from swspark.sources import read_html_glob, read_pages_parquet, single_page
+
+    spark = get_spark("swspark-scrap", cores=args.cpus)
+    if args.glob:
+        pages = read_html_glob(spark, args.glob)
+    elif args.pages:
+        pages = read_pages_parquet(spark, args.pages).select("url", "html")
+    elif args.file:
+        with open(args.file, "rb") as fh:
+            pages = single_page(spark, args.file, fh.read())
+    else:
+        print("one of --glob / --pages / --file is required", file=sys.stderr)
+        return 2
+    rec, _urls, errs = apply_extraction(pages, args.spec)
+    n_err = errs.count()
+    if n_err and args.on_scrap_error == "fail":
+        print(f"{n_err} scrape errors (on-scrap-error=fail)", file=sys.stderr)
+        return 1
+    write_csv(rec, args.output,
+              mode="append" if args.append else "overwrite",
+              delimiter=args.delimiter)
+    print(f"scrap done: errors={n_err}; csv={args.output}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="swspark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="sitemap-seeded wave crawl")
+    _add_common(c)
+    c.add_argument("--seeds", required=True, help="seeds parquet")
+    c.add_argument("--sitemaps", required=True, help="sitemaps parquet")
+    c.add_argument("--robots", required=True, help="robots parquet")
+    c.add_argument("--pages", required=True, help="pages parquet (fetch source)")
+    c.add_argument("--scenario", default=None)
+    c.add_argument("--warehouse", default=None)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--user-agent", default="SWSbot")
+    c.add_argument("--wave-period", type=float, default=10.0)
+    c.add_argument("--max-waves", type=int, default=100)
+    c.add_argument("--max-urls-per-wave", type=int, default=None)
+    c.add_argument("--throttle", default=None,
+                   help="concurrent:N | per-second:N | delay:S")
+    c.add_argument("--on-dl-error", choices=["skip", "fail"], default="skip")
+    c.add_argument("--on-xml-error", choices=["skip", "fail"], default="skip")
+    c.set_defaults(fn=cmd_crawl)
+
+    s = sub.add_parser("scrap", help="offline batch scrape")
+    _add_common(s)
+    s.add_argument("--glob", default=None, help="HTML file glob (A6)")
+    s.add_argument("--pages", default=None, help="pages parquet")
+    s.add_argument("--file", default=None, help="single HTML file (A7)")
+    s.set_defaults(fn=cmd_scrap)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
