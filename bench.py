@@ -52,22 +52,16 @@ def build_synthetic_frontier(spark, n_urls: int, n_hosts: int = 1000):
     )
 
 
-def bench_crawl_wave(spark, n_urls: int) -> tuple[float, int]:
-    """One full scheduling wave over the synthetic frontier; returns
-    (seconds, urls_scheduled_and_fetched)."""
-    from swspark.scheduler import Throttle, salted_repartition, schedule_wave
+def prepare_crawl_wave(spark, n_urls: int) -> dict:
+    """Materialize the wave inputs once (seen-set + pages store +
+    budgets) so repeated timed runs measure only the wave itself."""
     from swspark.seen import with_url_identity
 
-    frontier = with_url_identity(build_synthetic_frontier(spark, n_urls))
-    # pre-seeded seen-set: 25% of the id space, materialized first so
-    # its build cost is not billed to the wave
+    frontier = build_synthetic_frontier(spark, n_urls)
     seen = with_url_identity(
         build_synthetic_frontier(spark, n_urls // 4).select("url")
-    ).select("url_hash", "url_canon")
-    seen = seen.persist()
+    ).select("url_hash", "url_canon").persist()
     seen.count()
-    # per-host budgets: delays cycle 0.5/1/2 like the fixtures; the
-    # wave_period is scaled so budgets admit ~half the frontier
     hosts = frontier.select("host").distinct()
     m = F.length("host") % 3
     budgets = hosts.select(
@@ -76,26 +70,50 @@ def bench_crawl_wave(spark, n_urls: int) -> tuple[float, int]:
         .when(m == 1, F.lit(1.0))
         .otherwise(F.lit(2.0))
         .alias("crawl_delay"),
-    )
-    # simulated pages store (url -> payload) as a second scan of the
-    # same generator: the fetch join is real, the payload is synthetic
+    ).persist()
+    budgets.count()
     pages = build_synthetic_frontier(spark, n_urls).select(
         "url", F.encode(F.repeat(F.lit("x"), 64), "utf-8").alias("html")
-    )
+    ).persist()
+    pages.count()
+    return {"frontier": frontier, "seen": seen, "budgets": budgets,
+            "pages": pages, "n_urls": n_urls}
 
+
+def run_crawl_wave(spark, inputs: dict) -> tuple[float, int]:
+    """One full scheduling wave: canonicalize+hash -> anti-join vs
+    seen -> two-phase window-rank budget cutoff -> salted repartition
+    -> fetch join. Returns (seconds, urls_scheduled_and_fetched)."""
+    from swspark.scheduler import Throttle, salted_repartition, schedule_wave
+    from swspark.seen import with_url_identity
+
+    n_urls = inputs["n_urls"]
     t0 = time.perf_counter()
-    candidates = frontier.join(seen, ["url_hash", "url_canon"], "left_anti")
+    frontier = with_url_identity(inputs["frontier"])
+    candidates = frontier.join(
+        inputs["seen"], ["url_hash", "url_canon"], "left_anti"
+    )
     wave_period = max(1.0, n_urls / 2000.0)  # admit a large wave
     scheduled = schedule_wave(
-        candidates, budgets, wave_period, Throttle("CONCURRENT", 1e18)
+        candidates, inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18)
     )
     scheduled = salted_repartition(
         scheduled, spark.sparkContext.defaultParallelism, 16
     )
-    fetched = scheduled.join(pages, "url")
+    fetched = scheduled.join(inputs["pages"], "url")
     n = fetched.count()
-    dt = time.perf_counter() - t0
-    seen.unpersist()
+    return time.perf_counter() - t0, n
+
+
+def bench_crawl_wave(spark, n_urls: int, warmup: bool = True) -> tuple[float, int]:
+    inputs = prepare_crawl_wave(spark, n_urls)
+    if warmup:  # JIT/codegen/shuffle-service warmup, not recorded
+        run_crawl_wave(spark, {**inputs, "n_urls": max(n_urls // 10, 1000),
+                               "frontier": build_synthetic_frontier(
+                                   spark, max(n_urls // 10, 1000))})
+    dt, n = run_crawl_wave(spark, inputs)
+    for k in ("seen", "budgets", "pages"):
+        inputs[k].unpersist()
     return dt, n
 
 

@@ -319,13 +319,14 @@ def crawl(
 
         totals["waves"] += 1
         totals["fetched"] += m["pages_out"]
-        totals["records"] += 0  # counted lazily below
-        totals["discovered"] += 0
         totals["errors"] += n_errors
         wave += 1
 
     totals["records"] = (
         state.records.read(spark).count() if state.records.exists() else 0
+    )
+    totals["discovered"] = (
+        state.discovered.read(spark).count() if state.discovered.exists() else 0
     )
     totals["seen"] = state.seen.read(spark).count() if state.seen.exists() else 0
     return totals

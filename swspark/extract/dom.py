@@ -93,6 +93,76 @@ class Node:
             if n.kind == ELEMENT:
                 yield n
 
+    # --- traversal axes (reference: crates/sws-tree/src/iter.rs,
+    # tested in crates/sws-tree/tests/{node,iter}.rs) ----------------
+    def first_child(self) -> "Node | None":
+        return self.children[0] if self.children else None
+
+    def last_child(self) -> "Node | None":
+        return self.children[-1] if self.children else None
+
+    def _sibling_index(self) -> int:
+        sibs = self.parent.children
+        for i, s in enumerate(sibs):
+            if s is self:
+                return i
+        raise ValueError("node not in parent children")  # pragma: no cover
+
+    def prev_sibling(self) -> "Node | None":
+        if self.parent is None:
+            return None
+        i = self._sibling_index()
+        return self.parent.children[i - 1] if i > 0 else None
+
+    def next_sibling(self) -> "Node | None":
+        if self.parent is None:
+            return None
+        i = self._sibling_index()
+        sibs = self.parent.children
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    def ancestors(self):
+        n = self.parent
+        while n is not None:
+            yield n
+            n = n.parent
+
+    def prev_siblings(self):
+        n = self.prev_sibling()
+        while n is not None:
+            yield n
+            n = n.prev_sibling()
+
+    def next_siblings(self):
+        n = self.next_sibling()
+        while n is not None:
+            yield n
+            n = n.next_sibling()
+
+    def first_children(self):
+        n = self.first_child()
+        while n is not None:
+            yield n
+            n = n.first_child()
+
+    def last_children(self):
+        n = self.last_child()
+        while n is not None:
+            yield n
+            n = n.last_child()
+
+    def traverse(self):
+        """Depth-first edge traversal: ('open', n) ... ('close', n),
+        including self (iter.rs Edge::Open/Close semantics)."""
+        stack = [("open", self)]
+        while stack:
+            edge, node = stack.pop()
+            yield edge, node
+            if edge == "open":
+                stack.append(("close", node))
+                for c in reversed(node.children):
+                    stack.append(("open", c))
+
     # --- element accessors (node.rs:254-288, interop.rs:98-140) -----
     def attr(self, name: str) -> str | None:
         return self.attrs.get(name)

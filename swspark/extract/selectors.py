@@ -29,6 +29,7 @@ document order like the reference's Select iterator
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from swspark.extract.dom import ELEMENT, Node
 
@@ -146,7 +147,10 @@ class Selector:
         self._parse(source)
 
     @classmethod
+    @lru_cache(maxsize=4096)
     def parse(cls, source: str) -> "Selector":
+        """Parse with memoization — extraction specs re-select the
+        same selector strings for every row of every Arrow batch."""
         return cls(source)
 
     def _parse(self, source: str) -> None:

@@ -76,16 +76,17 @@ def politeness_budget(
 SCHEDULE_ORDER = ("priority", "last_fetch_ts", "url")
 
 
+def _order_cols():
+    return (
+        F.desc_nulls_last("priority"),
+        F.asc_nulls_first("last_fetch_ts"),
+        F.asc("url"),
+    )
+
+
 def rank_frontier(frontier: DataFrame, host_col: str = "host") -> DataFrame:
     """Deterministic per-host rank (the core scheduling operator)."""
-    w = (
-        Window.partitionBy(host_col)
-        .orderBy(
-            F.desc_nulls_last("priority"),
-            F.asc_nulls_first("last_fetch_ts"),
-            F.asc("url"),
-        )
-    )
+    w = Window.partitionBy(host_col).orderBy(*_order_cols())
     return frontier.withColumn("rank", F.row_number().over(w))
 
 
@@ -96,6 +97,7 @@ def schedule_wave(
     throttle: Throttle = Throttle(),
     max_urls_per_wave: int | None = None,
     host_col: str = "host",
+    pre_salt: int = 16,
 ) -> DataFrame:
     """Select this wave's URLs: rank per host, cut at the politeness
     budget, optionally cap the global wave size (the page_buffer /
@@ -104,25 +106,48 @@ def schedule_wave(
     host_budgets: (host, crawl_delay) — per-host; joined broadcast
     (host cardinality << frontier cardinality at any scale).
     frontier must have (url, host, priority, last_fetch_ts).
+
+    Skew: a naive per-host window makes a hot domain's rank a single
+    task (one partition sorts the whole 10%-of-frontier host). The
+    rank is therefore two-phase and exact:
+
+      1. pre-rank within (host, salt) — ``pre_salt`` parallel tasks
+         per host — and keep only local rank <= budget. Any row in
+         the host's true top-``budget`` is necessarily within the
+         top-``budget`` of its own salt bucket, so this drops no
+         winner (top-k monotonicity).
+      2. final rank over the survivors (<= pre_salt x budget rows per
+         host — tiny) and cut at the budget.
+
+    Both phases use the same deterministic ordering, so the result is
+    identical to the single-window plan.
     """
     budget = politeness_budget(F.col("crawl_delay"), wave_period, throttle)
-    ranked = rank_frontier(
-        frontier.join(
-            F.broadcast(host_budgets.select(host_col, "crawl_delay")),
-            host_col,
-            "left",
-        ),
+    base = frontier.join(
+        F.broadcast(host_budgets.select(host_col, "crawl_delay")),
         host_col,
+        "left",
+    ).withColumn("_budget", budget)
+
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(pre_salt))
+    w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*_order_cols())
+    pre = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col("_budget"))
+        .drop("_r1")
     )
-    picked = ranked.where(F.col("rank") <= budget).drop("crawl_delay")
+    w2 = Window.partitionBy(host_col).orderBy(*_order_cols())
+    picked = (
+        pre.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= F.col("_budget"))
+        .drop("crawl_delay", "_budget")
+    )
     if max_urls_per_wave is not None:
-        # deterministic global cap: favor low rank (fair across hosts),
-        # then url tiebreak
-        w = Window.orderBy(F.asc("rank"), F.asc("url"))
-        picked = (
-            picked.withColumn("_g", F.row_number().over(w))
-            .where(F.col("_g") <= max_urls_per_wave)
-            .drop("_g")
+        # deterministic global cap: favor low rank (fair across
+        # hosts), url tiebreak. orderBy+limit compiles to a
+        # distributed TakeOrdered — never a single-partition window.
+        picked = picked.orderBy(F.asc("rank"), F.asc("url")).limit(
+            max_urls_per_wave
         )
     return picked
 

@@ -30,9 +30,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cores
 
+    # local mode = one JVM: spark.driver.memory is the whole heap.
+    # Must be sized for the task count (32 concurrent tasks x sort/
+    # shuffle buffers overflow the 1g default instantly).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         # AQE: runtime coalesce + skew-join split; our salting handles

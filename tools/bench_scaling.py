@@ -24,14 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def worker(cores: int, n_urls: int, reps: int) -> None:
-    from bench import bench_crawl_wave
+    from bench import prepare_crawl_wave, run_crawl_wave
     from swspark.session import get_spark
 
     spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    inputs = prepare_crawl_wave(spark, n_urls)
+    run_crawl_wave(spark, inputs)  # warmup (JIT/codegen), not recorded
     results = []
     for _ in range(reps):
-        dt, n = bench_crawl_wave(spark, n_urls)
+        dt, n = run_crawl_wave(spark, inputs)
         results.append({"seconds": dt, "urls_fetched": n})
     print("RESULT " + json.dumps({"cores": cores, "runs": results}))
 
