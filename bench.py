@@ -52,16 +52,68 @@ def build_synthetic_frontier(spark, n_urls: int, n_hosts: int = 1000):
     )
 
 
+N_SEEN_BUCKETS = 64
+PAGES_BUCKETS = 64
+
+
 def prepare_crawl_wave(spark, n_urls: int) -> dict:
-    """Materialize the wave inputs once (seen-set + pages store +
-    budgets) so repeated timed runs measure only the wave itself."""
-    from swspark.seen import with_url_identity
+    """One-time physical layout, exactly the engine's designed scale
+    shape (north star: bucketed page storage + Bloom/exact seen-set).
+    Setup cost is storage-build cost, not wave cost:
+
+    - pages: parquet table bucketed by url (≙ Iceberg bucket(N, url))
+      so the fetch join never shuffles the big side;
+    - seen: exact table bucketed by url_hash + per-bucket Bloom
+      shards, so only Bloom-positive candidates reach the anti-join;
+    - budgets: tiny per-host dim (broadcast at join time).
+    """
+    from swspark.seen import build_filter_shards, load_shards, with_url_identity
+
+    import shutil
+
+    cores = spark.sparkContext.defaultParallelism
+    wh = os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/swspark-bench"),
+        f"wh-{n_urls}-c{cores}",
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bench LOCATION '{wh}'")
+    spark.sql("USE bench")
 
     frontier = build_synthetic_frontier(spark, n_urls)
-    seen = with_url_identity(
+
+    seen_src = with_url_identity(
         build_synthetic_frontier(spark, n_urls // 4).select("url")
-    ).select("url_hash", "url_canon").persist()
-    seen.count()
+    ).select("url_hash", "url_canon")
+    seen_tbl = f"seen_{n_urls}"
+    pages_tbl = f"pages_{n_urls}"
+    for tbl in (seen_tbl, pages_tbl):
+        # a fresh in-memory catalog doesn't know about leftovers from
+        # a previous process; clear them so saveAsTable can land
+        loc = os.path.join(wh, tbl)
+        if not spark.catalog.tableExists(tbl) and os.path.exists(loc):
+            shutil.rmtree(loc)
+    if not spark.catalog.tableExists(seen_tbl):
+        (
+            seen_src.write.bucketBy(N_SEEN_BUCKETS, "url_hash")
+            .sortBy("url_hash")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(seen_tbl)
+        )
+    if not spark.catalog.tableExists(pages_tbl):
+        (
+            build_synthetic_frontier(spark, n_urls)
+            .select("url", F.encode(F.repeat(F.lit("x"), 64), "utf-8").alias("html"))
+            .write.bucketBy(PAGES_BUCKETS, "url")
+            .sortBy("url")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(pages_tbl)
+        )
+    seen = spark.table(seen_tbl)
+    pages = spark.table(pages_tbl)
+    blooms = load_shards(build_filter_shards(seen, N_SEEN_BUCKETS, fpp=0.01))
+
     hosts = frontier.select("host").distinct()
     m = F.length("host") % 3
     budgets = hosts.select(
@@ -72,26 +124,24 @@ def prepare_crawl_wave(spark, n_urls: int) -> dict:
         .alias("crawl_delay"),
     ).persist()
     budgets.count()
-    pages = build_synthetic_frontier(spark, n_urls).select(
-        "url", F.encode(F.repeat(F.lit("x"), 64), "utf-8").alias("html")
-    ).persist()
-    pages.count()
-    return {"frontier": frontier, "seen": seen, "budgets": budgets,
-            "pages": pages, "n_urls": n_urls}
+    return {"frontier": frontier, "seen": seen, "blooms": blooms,
+            "budgets": budgets, "pages": pages, "n_urls": n_urls}
 
 
 def run_crawl_wave(spark, inputs: dict) -> tuple[float, int]:
-    """One full scheduling wave: canonicalize+hash -> anti-join vs
-    seen -> two-phase window-rank budget cutoff -> salted repartition
-    -> fetch join. Returns (seconds, urls_scheduled_and_fetched)."""
+    """One full scheduling wave on the designed layout:
+    canonicalize+hash -> Bloom fast-path + bucket-pruned exact
+    anti-join -> two-phase window-rank budget cutoff -> salted
+    repartition -> fetch join against the bucketed pages table.
+    Returns (seconds, urls_scheduled_and_fetched)."""
     from swspark.scheduler import Throttle, salted_repartition, schedule_wave
-    from swspark.seen import with_url_identity
+    from swspark.seen import filter_new_urls, with_url_identity
 
     n_urls = inputs["n_urls"]
     t0 = time.perf_counter()
     frontier = with_url_identity(inputs["frontier"])
-    candidates = frontier.join(
-        inputs["seen"], ["url_hash", "url_canon"], "left_anti"
+    candidates = filter_new_urls(
+        spark, frontier, inputs["seen"], inputs["blooms"], N_SEEN_BUCKETS
     )
     wave_period = max(1.0, n_urls / 2000.0)  # admit a large wave
     scheduled = schedule_wave(

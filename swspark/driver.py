@@ -99,6 +99,9 @@ class CrawlState:
         self.trace = SnapshotTable(os.path.join(warehouse, "trace"))
         self.discovered = SnapshotTable(os.path.join(warehouse, "discovered"))
         self.errors = SnapshotTable(os.path.join(warehouse, "errors"))
+        # durable Bloom shard deltas (fixed geometry -> OR-mergeable),
+        # versioned with the seen table (SURVEY.md §7 risk 3)
+        self.shards = SnapshotTable(os.path.join(warehouse, "shards"))
 
 
 def _frontier_rows(df: DataFrame, wave: int) -> DataFrame:
@@ -266,10 +269,12 @@ def crawl(
                 "error",
             )
         )
-        n_errors = err_all.count()
+        state.errors.commit(
+            err_all, mode="append", lineage={"wave": wave}, count_rows=True
+        )
+        n_errors = state.errors.manifest()["lineage"]["n_rows"]
         if n_errors and (config.on_dl_error == "fail" or config.on_scrap_error == "fail"):
             raise RuntimeError(f"wave {wave}: {n_errors} errors with fail policy")
-        state.errors.commit(err_all, mode="append", lineage={"wave": wave})
 
         # --- update seen (attempted URLs count as seen; 404s are not
         # retried forever, matching "scheduled+fetched" accounting) ----
@@ -278,6 +283,18 @@ def crawl(
         )
         state.seen.commit(seen_delta, mode="append", lineage={"wave": wave})
         seen_df = state.seen.read(spark)
+        # durable incremental shard delta (distributed build), plus the
+        # in-memory merge used by this process's fast path
+        delta_shards = build_filter_shards(
+            seen_delta, config.n_seen_buckets,
+            fixed_bits=config.bloom_bits_per_bucket, fixed_k=config.bloom_k,
+        )
+        state.shards.commit(
+            delta_shards, mode="append",
+            lineage={"wave": wave,
+                     "geometry": [config.bloom_bits_per_bucket, config.bloom_k],
+                     "seen_version": state.seen.current_version()},
+        )
         blooms = _merge_bloom_delta(spark, blooms, seen_delta, config)
 
         # --- discovered URLs -> next frontier (sendUrl feedback, A22) --
@@ -335,11 +352,26 @@ def crawl(
 def _rebuild_blooms(
     spark: SparkSession, state: CrawlState, seen_df: DataFrame, config: CrawlConfig
 ) -> dict[int, BloomFilter]:
-    """Full rebuild from the exact seen table (resume path; SURVEY.md
-    §7 risk 3 — shard version mismatch falls back to exact rebuild)."""
+    """Resume path (SURVEY.md §7 risk 3): load the persisted shard
+    deltas if their geometry and seen-version line up; otherwise fall
+    back to an exact rebuild from the seen table."""
+    if state.shards.exists():
+        m = state.shards.manifest()["lineage"]
+        geometry_ok = m.get("geometry") == [
+            config.bloom_bits_per_bucket, config.bloom_k
+        ]
+        version_ok = m.get("seen_version") == state.seen.current_version()
+        if geometry_ok and version_ok:
+            try:
+                return load_shards(state.shards.read(spark))
+            except ValueError:
+                pass  # mixed geometry rows -> rebuild
     if seen_df.isEmpty():
         return {}
-    shards = build_filter_shards(seen_df, config.n_seen_buckets)
+    shards = build_filter_shards(
+        seen_df, config.n_seen_buckets,
+        fixed_bits=config.bloom_bits_per_bucket, fixed_k=config.bloom_k,
+    )
     return load_shards(shards)
 
 

@@ -248,10 +248,15 @@ def bucket_of(url_hash: F.Column, n_buckets: int) -> F.Column:
 
 
 def build_filter_shards(
-    seen: DataFrame, n_buckets: int, fpp: float = 0.01
+    seen: DataFrame, n_buckets: int, fpp: float = 0.01,
+    fixed_bits: int | None = None, fixed_k: int | None = None,
 ) -> DataFrame:
-    """Build per-bucket Bloom+cuckoo shards from the exact seen table
-    (full rebuild path; incremental path merges per-wave deltas).
+    """Build per-bucket Bloom+cuckoo shards from the exact seen table.
+
+    With ``fixed_bits``/``fixed_k`` the Bloom geometry is pinned so
+    per-wave delta shards are OR-mergeable with prior shards (the
+    incremental checkpoint path); otherwise each shard is sized for
+    its own cardinality (full-rebuild path).
 
     seen must have column ``url_hash``. One groupBy(bucket) shuffle,
     then a single pass per group — O(|seen|/n_buckets) memory each.
@@ -262,7 +267,10 @@ def build_filter_shards(
 
     def _build(key, pdf):
         h = pdf["url_hash"].to_numpy(dtype=np.int64)
-        bf = BloomFilter.sized_for(len(h), fpp)
+        if fixed_bits is not None:
+            bf = BloomFilter(fixed_bits, fixed_k or 7)
+        else:
+            bf = BloomFilter.sized_for(len(h), fpp)
         bf.add_many(h)
         cf = CuckooFilter.sized_for(len(h))
         cf.insert_many(h)
@@ -282,13 +290,24 @@ def build_filter_shards(
 
 
 def load_shards(shards_df: DataFrame) -> dict[int, BloomFilter]:
-    """Collect shard rows into a {bucket: BloomFilter} dict (the
-    broadcast side; total size = sum of bloom bytes ~ 1.2 bytes/URL
-    at fpp=0.01 — for truly 10^10-scale runs the UDF would mmap shard
-    files instead of broadcasting; interface unchanged)."""
+    """Collect shard rows into a {bucket: BloomFilter} dict, OR-merging
+    rows of the same bucket (per-wave delta shards with identical
+    geometry). Total size ~ 1.2 bytes/URL at fpp=0.01 — for truly
+    10^10-scale runs the UDF would mmap shard files instead of
+    broadcasting; interface unchanged."""
     out: dict[int, BloomFilter] = {}
     for r in shards_df.collect():
-        out[r.bucket] = BloomFilter.from_bytes(r.m_bits, r.k, bytes(r.bloom))
+        bf = BloomFilter.from_bytes(r.m_bits, r.k, bytes(r.bloom))
+        prev = out.get(r.bucket)
+        if prev is None:
+            out[r.bucket] = bf
+        elif prev.m == bf.m and prev.k == bf.k:
+            prev.merge(bf)
+        else:  # geometry changed (config bump) -> caller rebuilds
+            raise ValueError(
+                f"bloom shard geometry mismatch in bucket {r.bucket}: "
+                f"({prev.m},{prev.k}) vs ({bf.m},{bf.k})"
+            )
     return out
 
 

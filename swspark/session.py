@@ -34,6 +34,13 @@ def get_spark(
     # Must be sized for the task count (32 concurrent tasks x sort/
     # shuffle buffers overflow the 1g default instantly).
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # Shuffle spill dir. On a real cluster every executor brings its
+    # own local SSDs, so shuffle bandwidth scales with the node count;
+    # a single-box local[N] run shares ONE disk across all task
+    # threads, which silently caps scaling. SPARK_GRAFT_LOCAL_DIR
+    # (e.g. /dev/shm/spark-tmp) restores the cluster-like property for
+    # scaling measurements.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -53,6 +60,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -30,7 +30,8 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotTable:
@@ -82,12 +83,25 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "append",
         lineage: dict | None = None,
+        count_rows: bool = False,
     ) -> int:
-        """Write df as a new snapshot; returns the new version id."""
+        """Write df as a new snapshot; returns the new version id.
+
+        ``count_rows=True`` rides an observe() on the write job (no
+        extra action) and records ``n_rows`` in the lineage — the
+        flow-accounting trick from swspark.fetch applied to commits.
+        """
         assert mode in ("append", "overwrite")
+        obs = None
+        if count_rows:
+            obs = Observation(f"commit-{uuid.uuid4().hex[:8]}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         data_dir = os.path.join("data", uuid.uuid4().hex)
         abs_dir = os.path.join(self.root, data_dir)
         df.write.mode("overwrite").parquet(abs_dir)
+        lineage = dict(lineage or {})
+        if obs is not None:
+            lineage["n_rows"] = obs.get["n_rows"]
 
         parent = self.current_version()
         parent_m = self.manifest(parent) if parent is not None else None
@@ -102,7 +116,7 @@ class SnapshotTable:
             "mode": mode,
             "data_dirs": dirs,
             "committed_at": time.time(),
-            "lineage": lineage or {},
+            "lineage": lineage,
         }
         # manifest first, pointer last — a crash in between leaves
         # CURRENT at the parent and the orphan manifest is harmless

@@ -44,6 +44,16 @@ def main() -> None:
         return
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     reps = int(os.environ.get("SCALING_REPS", "3"))
+    # stale Spark JVMs from crashed/timed-out runs silently poison
+    # the timings (observed: 6-20x inflation) — refuse to measure
+    stale = subprocess.run(
+        ["pgrep", "-f", "java.*spark"], capture_output=True, text=True
+    ).stdout.strip()
+    if stale:
+        raise RuntimeError(
+            f"stale Spark JVMs running (pids {stale.replace(chr(10), ',')}); "
+            "kill them before benchmarking"
+        )
     out = {}
     for cores in (8, 32):
         p = subprocess.run(
