@@ -14,7 +14,7 @@ Prints ONE JSON line:
   fixture pages.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
-SPARK_GRAFT_BENCH_URLS (frontier rows, default 2_000_000),
+SPARK_GRAFT_BENCH_URLS (frontier rows, default 5_000_000),
 SPARK_GRAFT_BENCH_QUERIES (comma list to restrict).
 """
 
@@ -157,10 +157,11 @@ def run_crawl_wave(spark, inputs: dict) -> tuple[float, int]:
 
 def bench_crawl_wave(spark, n_urls: int, warmup: bool = True) -> tuple[float, int]:
     inputs = prepare_crawl_wave(spark, n_urls)
-    if warmup:  # JIT/codegen/shuffle-service warmup, not recorded
-        run_crawl_wave(spark, {**inputs, "n_urls": max(n_urls // 10, 1000),
-                               "frontier": build_synthetic_frontier(
-                                   spark, max(n_urls // 10, 1000))})
+    if warmup:
+        # full-size warmup: JIT at real hash-table/sort sizes, heap
+        # region growth, tmpfs first-touch — a 1/10-size warmup leaves
+        # the first full wave ~5x slower (measured)
+        run_crawl_wave(spark, inputs)
     dt, n = run_crawl_wave(spark, inputs)
     for k in ("seen", "budgets", "pages"):
         inputs[k].unpersist()
@@ -193,8 +194,23 @@ def bench_extraction(spark) -> tuple[float, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "2000000"))
+    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "5000000"))
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+
+    # This box has ONE spill disk shared by all task threads — a
+    # non-scaling resource a real cluster multiplies with executors
+    # (BENCH.md). Default shuffle + bench tables to tmpfs when
+    # available so the measurement reflects the plan, not the disk.
+    if os.path.isdir("/dev/shm"):
+        import shutil
+
+        shm_tmp = "/dev/shm/spark-tmp"
+        shm_bench = "/dev/shm/swspark-bench"
+        os.makedirs(shm_tmp, exist_ok=True)
+        if os.path.isdir(shm_bench):
+            shutil.rmtree(shm_bench)  # reclaim tmpfs from prior runs
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", shm_tmp)
+        os.environ.setdefault("SPARK_GRAFT_BENCH_DIR", shm_bench)
 
     from swspark.session import get_spark
 

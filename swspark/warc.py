@@ -93,6 +93,8 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, datetime, bytes]]:
         length = int(headers.get("content-length", "0"))
         body = data[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length + 4  # record ends with two CRLFs
+        if len(body) < length:
+            break  # truncated record (partial download) -> drop
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
