@@ -14,6 +14,7 @@ rounded and scaled to integers where hashing stability matters.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -117,21 +118,38 @@ FROM (SELECT DISTINCT source FROM documents)
 
 
 def q_host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host scheduling stats (groupBy + count/sum/avg)."""
+    """Per-host scheduling stats (groupBy + count/sum/avg).
+
+    avg_chars_x100 is exact integer math (round-half-up of
+    100*sum/count via (200*sum + count) DIV (2*count)) so the hash is
+    representation-stable: no doubles anywhere, every column BIGINT on
+    both engines (DuckDB SUM(BIGINT) is HUGEINT — cast explicitly)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_chars") * 100).cast("long").alias("avg_chars_x100"),
-        F.countDistinct("lang").alias("n_langs"),
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.expr(
+                "CAST((200 * total_chars + n_docs) DIV (2 * n_docs) AS BIGINT)"
+            ).alias("avg_chars_x100"),
+            "n_langs",
+        )
     )
 
 
 SQL_HOST_AGG = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       CAST(ROUND(AVG(n_chars) * 100) AS BIGINT) AS avg_chars_x100,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST((200 * CAST(SUM(n_chars) AS BIGINT) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS avg_chars_x100,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents GROUP BY source
 """
@@ -252,8 +270,11 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (approximate; rows-only check — the
-    exactness bound lives in pytest vs the ngram_jaccard oracle)."""
+    """MinHash+LSH near-dup pairs. Oracle = the exact ngram-Jaccard
+    pair set at the same threshold: with k=64, bands=16 (rows=4) the
+    per-pair miss probability at J>=0.9 is (1-0.9^4)^16 ~ 4e-8, and the
+    exact-Jaccard verify step removes every false positive, so the LSH
+    output equals the exact result on this corpus."""
     from swspark.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select(
@@ -265,6 +286,36 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs.unionByName(copies), threshold=0.9).select(
         "doc_a", "doc_b"
     )
+
+
+SQL_MINHASH_LSH = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {_NORM_SQL} AS t
+  FROM documents WHERE doc_id < 20
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(t) - 4, 0)),
+           i -> t[i:i+4])) AS grams
+  FROM base
+),
+inv AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(grams) AS sz FROM sh)
+SELECT doc_a, doc_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,12 +427,39 @@ FROM documents
 
 
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-trigram language ID (pandas UDF; rows-only)."""
+    """Char-trigram language ID (vectorized pandas UDF). The oracle
+    replicates the model exactly in SQL: a profile trigram occurs as a
+    substring of ' '||lower(text)||' ' iff it is in the document's
+    trigram set, so per-language scores (and the en-first tie-break /
+    min-score-3 rule) are SQL-expressible."""
     from swspark.textops import make_lang_id_udf
 
     docs = _t(spark, sf_dir, "documents")
     udf = make_lang_id_udf()
-    return docs.groupBy(udf(F.col("text")).alias("lang_pred")).count()
+    return docs.select("doc_id", udf(F.col("text")).alias("lang_pred"))
+
+
+def _profile_score_sql(lang: str) -> str:
+    from swspark.textops import _PROFILES
+
+    grams = ", ".join("'" + g.replace("'", "''") + "'" for g in _PROFILES[lang])
+    return (
+        f"len(list_filter([{grams}], "
+        "g -> contains(' ' || lower(text) || ' ', g)))"
+    )
+
+
+SQL_LANG_ID_NGRAM = f"""
+SELECT doc_id,
+  CASE
+    WHEN COALESCE(text, '') = '' THEN 'unknown'
+    WHEN {_profile_score_sql("en")} >= {_profile_score_sql("fr")}
+     AND {_profile_score_sql("en")} >= 3 THEN 'en'
+    WHEN {_profile_score_sql("fr")} > {_profile_score_sql("en")}
+     AND {_profile_score_sql("fr")} >= 3 THEN 'fr'
+    ELSE 'unknown' END AS lang_pred
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------
@@ -455,14 +533,63 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (rows-only; recall pinned in
-    pytest)."""
-    from swspark.simsearch import lsh_index, lsh_topk
+    """Multi-table hyperplane-LSH approximate top-k, made
+    oracle-checkable: the query returns (n_retrieved, recall_ok) where
+    recall_ok asserts >= 80% of the exact brute-force top-10 was
+    recovered by the 8-table depth-2 multi-probe search. The oracle is
+    the contract itself. (These synthetic embeddings have ~0.3-cosine
+    neighbors, so single-table LSH cannot reach this recall; the
+    multi-table union can — 1-(1-p)^L.)"""
+    from swspark.simsearch import (
+        brute_force_topk,
+        multitable_lsh_index,
+        multitable_lsh_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    indexed, planes = lsh_index(emb, bits=6)
-    return lsh_topk(indexed, planes, q, k=10, probes=6).select("vec_id")
+    indexed, planes = multitable_lsh_index(emb, bits=8, n_tables=8)
+    approx = multitable_lsh_topk(indexed, planes, q, k=10, depth=2).select(
+        "vec_id"
+    )
+    exact = brute_force_topk(emb, q, k=10).select("vec_id")
+    hits = approx.join(exact, "vec_id", "left_semi")
+    return (
+        approx.agg(F.count(F.lit(1)).cast("long").alias("n_retrieved"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select("n_retrieved", (F.col("n_hits") >= 8).alias("recall_ok"))
+    )
+
+
+SQL_LSH_TOPK = "SELECT CAST(10 AS BIGINT) AS n_retrieved, TRUE AS recall_ok"
+
+
+# --------------------------------------------------------------------
+# extraction byte-identity (fixture parquet committed in-repo)
+# --------------------------------------------------------------------
+
+_FIXTURE_PAGES = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "fixture_pages.parquet"
+)
+
+
+def q_extract_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical whole-document text extraction (A9/A13/A32): run
+    the fulltext Arrow extraction UDF (stdlib-DOM parse + inner_text,
+    element_ref/mod.rs:87-99 semantics) over the committed fixture
+    pages; the oracle reads the independently-assembled golden `text`
+    column straight from the same parquet. Any divergence in parsing,
+    whitespace, or entity handling flips the hash."""
+    from swspark.extract.udf import apply_extraction
+
+    pages = spark.read.parquet(_FIXTURE_PAGES).select("url", "html")
+    rec, _urls, _errs = apply_extraction(pages, "fulltext")
+    return rec.select("url", "text")
+
+
+SQL_EXTRACT_IDENTITY = (
+    f"SELECT url, text FROM read_parquet('{_FIXTURE_PAGES}')"
+)
 
 
 # --------------------------------------------------------------------
@@ -526,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_topk": q_lsh_topk,
+        "extract_identity": q_extract_identity,
         "crawl_wave": q_crawl_wave,
     }
 
@@ -545,7 +673,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "ann_topk": SQL_ANN_TOPK,
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
-        # minhash_lsh / simhash_pairs / lang_id_ngram / lsh_topk /
-        # crawl_wave: non-SQL-expressible (approximate or stateful) ->
-        # rows-only check by contract
+        "minhash_lsh": SQL_MINHASH_LSH,
+        "lang_id_ngram": SQL_LANG_ID_NGRAM,
+        "lsh_topk": SQL_LSH_TOPK,
+        "extract_identity": SQL_EXTRACT_IDENTITY,
+        # simhash_pairs / crawl_wave: non-SQL-expressible (xxhash64
+        # sketching resp. stateful multi-wave loop) -> rows-only check
+        # by contract; exactness pinned in pytest golden tests
     }

@@ -34,12 +34,16 @@ def normalized_text(text: Column) -> Column:
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
-    """Distinct character n-grams of the normalized text (JVM HOFs)."""
+    """Distinct character n-grams of the normalized text (JVM HOFs).
+
+    Texts shorter than n yield an empty set: Spark's sequence(1, 0) is
+    the *descending* [1, 0], not empty like SQL generate_series, so the
+    range is gated on length >= n to match the DuckDB oracle."""
     t = normalized_text(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
-        lambda i: F.substring(t, i, n),
-    )
+    idx = F.when(
+        F.length(t) >= n, F.sequence(F.lit(1), F.length(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.substring(t, i, n))
     return F.array_distinct(grams)
 
 

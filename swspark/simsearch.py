@@ -140,6 +140,78 @@ def lsh_topk(
     )
 
 
+def multiprobe_buckets(bucket: int, bits: int, depth: int = 1) -> list[int]:
+    """Hamming ball around a bucket id: all <=depth-bit flips
+    (classic multi-probe LSH; depth 2 is the usual sweet spot)."""
+    out = {bucket}
+    if depth >= 1:
+        out |= {bucket ^ (1 << i) for i in range(bits)}
+    if depth >= 2:
+        out |= {
+            bucket ^ (1 << i) ^ (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        }
+    return sorted(out)
+
+
+def multitable_lsh_index(
+    vectors: DataFrame,
+    bits: int = 8,
+    n_tables: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[np.ndarray]]:
+    """E2LSH-style multi-table index: L independent hyperplane tables,
+    one bucket column each. Recall compounds across tables
+    (1-(1-p)^L), which is what makes LSH usable when neighbors are not
+    extremely close. At scale each table is its own bucketed posting
+    layout (explode to (table, bucket, id) and bucketBy(bucket)) so a
+    probe is a partition-pruned scan; single-box the per-table columns
+    keep one row per vector and the probe is a disjunction filter."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes_list = [_hyperplanes(dim, bits, seed + t) for t in range(n_tables)]
+    v = F.col(vec_col).cast("array<double>")
+    df = vectors
+    for t, planes in enumerate(planes_list):
+        df = df.withColumn(f"bucket_{t}", hyperplane_bucket(v, planes))
+    return df, planes_list
+
+
+def multitable_lsh_topk(
+    indexed: DataFrame,
+    planes_list: list[np.ndarray],
+    query: list[float],
+    k: int = 10,
+    depth: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over the union of all tables' multi-probe
+    buckets; exact cosine rescoring of candidates only."""
+    qv = np.asarray(query, dtype=float)
+    cond = None
+    for t, planes in enumerate(planes_list):
+        qbucket = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(qv, p)) > 0:
+                qbucket |= 1 << i
+        buckets = multiprobe_buckets(qbucket, len(planes), depth)
+        c = F.col(f"bucket_{t}").isin(buckets)
+        cond = c if cond is None else (cond | c)
+    q = F.lit([float(x) for x in query]).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        indexed.where(cond)
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
