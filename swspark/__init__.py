@@ -12,8 +12,8 @@ pipeline over Common-Crawl-style page tables:
 - frontier  |x|  pages fetch simulation + metrics        -> swspark.fetch
 - HTML DOM + CSS-selector extraction (Arrow UDF)         -> swspark.extract
 - snapshot-parquet table layer (Iceberg-style)           -> swspark.tables
-- wave commit / lineage / resume                         -> swspark.checkpoint
-- crawl driver loop                                      -> swspark.driver
+- crawl driver loop + wave commit / lineage / resume     -> swspark.driver
+- WARC source/sink, file-glob + single-page sources      -> swspark.{warc,sources}
 - training-data ops (dedup, ANN, text quality, langid)   -> swspark.{dedup,simsearch,textops,multimodal}
 
 Everything dataframe-level uses built-in pyspark.sql.functions; Python

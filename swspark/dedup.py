@@ -143,7 +143,10 @@ def minhash_lsh_pairs(
     ).withColumn("sig", F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(F.transform(F.col("sh"), lambda g: F.xxhash64(g, i))),
-    )).persist()
+    ))
+    # no persist: the band-bucket self-join reuses its own shuffle
+    # exchange (ReusedExchange), so signatures are computed once per
+    # run without pinning executor storage for the caller's lifetime
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = base.select("id", "sig", band_idx).select(
@@ -229,7 +232,7 @@ def simhash_pairs(
     width = 64 // n_bands
     sims = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
-    ).persist()
+    )  # self-join below reuses the shuffle exchange; no persist needed
     mask = (1 << width) - 1
     band_keys = F.array(
         *[

@@ -39,10 +39,10 @@ from pyspark.sql.types import (
 )
 
 from swspark import urlnorm
-from swspark.extract.specs import SPECS
+from swspark.extract.specs import SPECS, ExtractionSpec
 from swspark.extract.udf import apply_extraction
 from swspark.fetch import fetch_pages
-from swspark.robots import build_robots_table, make_allowed_udf, parse_robots
+from swspark.robots import build_robots_rules_table, robots_filter_distributed
 from swspark.scheduler import Throttle, salted_repartition, schedule_wave
 from swspark.seen import (
     BloomFilter,
@@ -72,7 +72,7 @@ class CrawlConfig:
     """Engine knobs (reference: CrawlerConfig, config.rs:6-47; CLI >
     Lua > defaults precedence becomes plain Python kwargs)."""
 
-    spec: str = "fulltext"
+    spec: str | ExtractionSpec = "fulltext"
     user_agent: str = "SWSbot"
     wave_period: float = 10.0
     throttle: Throttle = field(default_factory=Throttle)
@@ -87,6 +87,11 @@ class CrawlConfig:
     robot_url: str | None = None  # explicit robots override (config.rs:44-46)
     salt_buckets: int = 8
     shuffle_partitions: int | None = None
+    # broadcast the wave's seen-delta keys into the frontier anti-join
+    # while the wave is below this many URLs (a 10^6-URL delta is
+    # ~16 MB of (hash, canon) — cheap vs shuffling a 10^10 frontier);
+    # larger waves fall back to a shuffle join automatically
+    delta_broadcast_max: int = 4_000_000
 
 
 class CrawlState:
@@ -122,11 +127,12 @@ def init_frontier(
     config: CrawlConfig,
     seeds: DataFrame,
     sitemaps: DataFrame,
-    robots: DataFrame,
+    rules_table: DataFrame,
     accept=None,
 ):
     """Seed resolution (scraper.rs:106-117: exactly one seed kind) +
-    sitemap expansion into the wave-0 frontier."""
+    sitemap expansion into the wave-0 frontier. ``rules_table`` is the
+    distributed robots table (host, crawl_delay, sitemaps, rules)."""
     kinds = [r.seed_kind for r in seeds.select("seed_kind").distinct().collect()]
     if len(kinds) != 1:
         raise ValueError(f"exactly one seed kind required, got {kinds}")
@@ -139,13 +145,13 @@ def init_frontier(
         hosts = seeds.select(
             urlnorm.url_host(F.col("seed")).alias("host")
         ).distinct()
-        bodies = hosts.join(robots, "host", "left").select("host", "body").collect()
-        sm_urls = []
-        for r in bodies:
-            rb = parse_robots(r.body or "", config.user_agent)
-            sm_urls.extend(rb.sitemaps)  # crawler.rs:347-365
-        seed_sm = spark.createDataFrame(
-            [(u,) for u in sm_urls], "sitemap_url string"
+        # crawler.rs:347-365 — sitemaps declared in robots.txt; a
+        # distributed semi-join + explode, nothing parsed on the driver
+        seed_sm = (
+            hosts.join(rules_table.select("host", "sitemaps"), "host", "left")
+            .select(F.explode_outer("sitemaps").alias("sitemap_url"))
+            .where(F.col("sitemap_url").isNotNull())
+            .distinct()
         )
         res = expand_sitemaps(
             spark, seed_sm, sitemaps, accept=accept,
@@ -153,6 +159,7 @@ def init_frontier(
         )
         frontier_urls = res.frontier.select("url")
         xml_errors = res.errors
+        cleanup = res.cleanup
     elif kind == "SITEMAPS":
         seed_sm = seeds.select(F.col("seed").alias("sitemap_url"))
         res = expand_sitemaps(
@@ -161,15 +168,17 @@ def init_frontier(
         )
         frontier_urls = res.frontier.select("url")
         xml_errors = res.errors
+        cleanup = res.cleanup
     elif kind == "PAGES":
         frontier_urls = seeds.select(F.col("seed").alias("url"))
         xml_errors = seeds.limit(0).select(
             F.col("seed").alias("sitemap_url"), F.lit("").alias("error")
         )
+        cleanup = lambda: None  # noqa: E731
     else:
         raise ValueError(f"unknown seed kind {kind!r}")
 
-    return _frontier_rows(frontier_urls, wave=0), xml_errors
+    return _frontier_rows(frontier_urls, wave=0), xml_errors, cleanup
 
 
 def crawl(
@@ -186,17 +195,27 @@ def crawl(
     """Run the wave loop; returns summary metrics. State lives in
     ``warehouse`` (snapshot tables) and is resumable."""
     state = CrawlState(warehouse)
-    robots_table, rules = build_robots_table(spark, robots, config.user_agent)
-    robots_table = robots_table.cache()
-    allowed_udf = make_allowed_udf(spark, rules)
+    spec = config.spec if isinstance(config.spec, ExtractionSpec) else SPECS[config.spec]
+    if accept is None:
+        # the spec's acceptUrl always gates sitemap URLs, like
+        # `sws crawl -s script.lua` (crawler.rs:92-96,123-125)
+        accept = spec.accept_url
+    # distributed robots: rules stay a by-host DataFrame, matching runs
+    # in a pandas UDF over the joined rules column — no driver collect
+    rules_table = build_robots_rules_table(robots, config.user_agent).persist()
 
     def robots_filter(df: DataFrame) -> DataFrame:
-        path = urlnorm.url_path_query(F.col("url"))
-        return df.where(allowed_udf(F.col("host"), path))
+        return robots_filter_distributed(df, rules_table)
 
     if resume and state.frontier.exists():
-        frontier = state.frontier.read(spark)
         wave = state.frontier.manifest()["lineage"]["next_wave"]
+        # cross-table reconciliation: a crash between a wave's table
+        # commits and the frontier pointer leaves orphan wave>=next
+        # snapshots that the replayed wave would double-append
+        for tbl in (state.records, state.trace, state.errors, state.seen,
+                    state.shards, state.discovered):
+            tbl.rollback_to_wave_before(wave)
+        frontier = state.frontier.read(spark)
         seen_df = (
             state.seen.read(spark)
             if state.seen.exists()
@@ -204,8 +223,8 @@ def crawl(
         )
         blooms = _rebuild_blooms(spark, state, seen_df, config)
     else:
-        frontier, xml_errors = init_frontier(
-            spark, config, seeds, sitemaps, robots, accept
+        frontier, xml_errors, expand_cleanup = init_frontier(
+            spark, config, seeds, sitemaps, rules_table, accept
         )
         frontier = robots_filter(frontier)
         wave = 0
@@ -225,14 +244,14 @@ def crawl(
                 ),
                 mode="overwrite",
             )
+        expand_cleanup()  # frontier + errors are committed: release caches
 
-    spec = SPECS[config.spec]
     totals = {"waves": 0, "fetched": 0, "records": 0, "discovered": 0, "errors": 0}
 
     while wave < config.max_waves:
         scheduled = schedule_wave(
             frontier,
-            robots_table.select(F.col("host"), "crawl_delay"),
+            rules_table.select(F.col("host"), "crawl_delay"),
             config.wave_period,
             config.throttle,
             config.max_urls_per_wave,
@@ -283,19 +302,23 @@ def crawl(
         )
         state.seen.commit(seen_delta, mode="append", lineage={"wave": wave})
         seen_df = state.seen.read(spark)
-        # durable incremental shard delta (distributed build), plus the
-        # in-memory merge used by this process's fast path
+        # durable incremental shard delta (distributed build), persisted
+        # so the same shards feed both the table commit and the
+        # in-memory merge below without recomputation
         delta_shards = build_filter_shards(
             seen_delta, config.n_seen_buckets,
             fixed_bits=config.bloom_bits_per_bucket, fixed_k=config.bloom_k,
-        )
+        ).persist()
         state.shards.commit(
             delta_shards, mode="append",
             lineage={"wave": wave,
                      "geometry": [config.bloom_bits_per_bucket, config.bloom_k],
                      "seen_version": state.seen.current_version()},
         )
-        blooms = _merge_bloom_delta(spark, blooms, seen_delta, config)
+        # merge the distributed shard blobs (n_seen_buckets fixed-size
+        # rows, ~2 MB total) — never the raw frontier-cardinality hashes
+        _merge_bloom_shards(blooms, delta_shards)
+        delta_shards.unpersist()
 
         # --- discovered URLs -> next frontier (sendUrl feedback, A22) --
         disc_new = _frontier_rows(
@@ -311,14 +334,29 @@ def crawl(
         )
 
         # --- next frontier: remove attempted, add discovered ----------
+        # Anti-join against THIS WAVE's seen delta only: prior waves'
+        # seen ∩ frontier is empty by induction, so the O(|seen|)
+        # shuffle of the accumulated table is unnecessary. The delta is
+        # wave-sized — broadcast it while small so the frontier side
+        # never shuffles at all.
+        delta_keys = seen_delta.select("url_hash", "url_canon")
+        if n_sched <= config.delta_broadcast_max:
+            delta_keys = F.broadcast(delta_keys)
         remaining = frontier.join(
-            seen_df.select("url_canon"), "url_canon", "left_anti"
+            delta_keys, ["url_hash", "url_canon"], "left_anti"
         )
-        next_frontier = remaining.unionByName(
-            disc_new.join(
-                frontier.select("url_canon"), "url_canon", "left_anti"
-            )
-        ).dropDuplicates(["url_canon"])
+        # Merge pending + newly-discovered in ONE shuffle: union then
+        # per-key min_by(discovered_wave) keeps the existing frontier
+        # row when a URL is rediscovered (deterministic: remaining rows
+        # carry waves <= wave, disc_new rows are wave+1, and each side
+        # is already unique by key).
+        merged = remaining.unionByName(disc_new)
+        row = F.struct(*[F.col(f.name) for f in FRONTIER_SCHEMA.fields])
+        next_frontier = (
+            merged.groupBy("url_hash", "url_canon")
+            .agg(F.min_by(row, F.col("discovered_wave")).alias("r"))
+            .select("r.*")
+        )
 
         m = obs.get
         lineage = {
@@ -339,6 +377,7 @@ def crawl(
         totals["errors"] += n_errors
         wave += 1
 
+    rules_table.unpersist()
     totals["records"] = (
         state.records.read(spark).count() if state.records.exists() else 0
     )
@@ -375,26 +414,19 @@ def _rebuild_blooms(
     return load_shards(shards)
 
 
-def _merge_bloom_delta(
-    spark: SparkSession,
-    blooms: dict[int, BloomFilter],
-    delta: DataFrame,
-    config: CrawlConfig,
+def _merge_bloom_shards(
+    blooms: dict[int, BloomFilter], delta_shards: DataFrame
 ) -> dict[int, BloomFilter]:
-    """Incremental per-wave shard update: only buckets touched by the
-    delta are modified; fixed (m, k) keeps merges valid."""
-    import numpy as np
-
-    rows = delta.select("url_hash").collect()
-    if not rows:
-        return blooms
-    h = np.array([r.url_hash for r in rows], dtype=np.int64)
-    buckets = np.mod(h, config.n_seen_buckets)
-    buckets = np.where(buckets < 0, buckets + config.n_seen_buckets, buckets)
-    for b in np.unique(buckets):
-        bf = blooms.get(int(b))
-        if bf is None:
-            bf = BloomFilter(config.bloom_bits_per_bucket, config.bloom_k)
-            blooms[int(b)] = bf
-        bf.add_many(h[buckets == b])
+    """Incremental per-wave shard update: OR-merge the distributed
+    fixed-geometry shard blobs (one bounded-size row per touched
+    bucket) into the in-memory fast-path filters. The driver never
+    sees frontier-cardinality data — only n_seen_buckets x 128 KiB of
+    bitmaps per wave."""
+    for r in delta_shards.select("bucket", "m_bits", "k", "bloom").collect():
+        bf = BloomFilter.from_bytes(r.m_bits, r.k, bytes(r.bloom))
+        prev = blooms.get(r.bucket)
+        if prev is None:
+            blooms[r.bucket] = bf
+        else:
+            prev.merge(bf)
     return blooms

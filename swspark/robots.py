@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     StringType,
     StructField,
@@ -56,6 +57,9 @@ class RobotRules:
     rules: list[tuple[bool, int, re.Pattern]] = field(default_factory=list)
     crawl_delay: float | None = None
     sitemaps: list[str] = field(default_factory=list)
+    # (is_allow, pattern) in the same precedence order — the
+    # rules-as-data form shipped through DataFrames (no pickled dict)
+    raw: list[tuple[bool, str]] = field(default_factory=list)
 
     def allowed(self, path: str) -> bool:
         if not path:
@@ -121,7 +125,11 @@ def parse_robots(body: str, user_agent: str = "SWSbot") -> RobotRules:
             if a == "*":
                 if star is None:
                     star = (rules, delay)
-            elif a in ua or ua in a:
+            elif a in ua:
+                # one-directional: the robots product token must be a
+                # substring of the configured UA (RFC 9309 §2.2.1 /
+                # texting_robots). The reverse direction would let
+                # 'User-agent: SWSbot-Special' capture plain SWSbot.
                 if best is None or len(a) > best[0]:
                     best = (len(a), rules, delay)
     if best is not None:
@@ -132,11 +140,16 @@ def parse_robots(body: str, user_agent: str = "SWSbot") -> RobotRules:
         rules, delay = [], None
 
     compiled = [
-        (key == "allow", len(pattern), _pattern_to_regex(pattern))
+        (key == "allow", len(pattern), _pattern_to_regex(pattern), pattern)
         for key, pattern in rules
     ]
     compiled.sort(key=lambda t: (-t[1], not t[0]))
-    return RobotRules(rules=compiled, crawl_delay=delay, sitemaps=sitemaps)
+    return RobotRules(
+        rules=[(a, ln, rx) for a, ln, rx, _p in compiled],
+        crawl_delay=delay,
+        sitemaps=sitemaps,
+        raw=[(a, p) for a, _ln, _rx, p in compiled],
+    )
 
 
 ROBOTS_TABLE_TYPE = StructType(
@@ -145,6 +158,101 @@ ROBOTS_TABLE_TYPE = StructType(
         StructField("sitemaps", ArrayType(StringType())),
     ]
 )
+
+ROBOTS_RULES_TYPE = StructType(
+    [
+        StructField("crawl_delay", DoubleType()),
+        StructField("sitemaps", ArrayType(StringType())),
+        StructField(
+            "rules",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("allow", BooleanType()),
+                        StructField("pattern", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def build_robots_rules_table(
+    robots: DataFrame, user_agent: str = "SWSbot"
+) -> DataFrame:
+    """Fully distributed robots layer: robots(host, body) ->
+    (host, crawl_delay, sitemaps, rules) with rules kept AS DATA
+    (precedence-ordered array of (allow, pattern) structs).
+
+    Nothing is collected to the driver and nothing host-cardinality is
+    pickled — at 10^7 hosts the rules stay a DataFrame the frontier
+    joins by host (AQE broadcasts it while it fits, shuffle-joins it
+    beyond that); matching runs in a vectorized pandas UDF over the
+    joined rules column (make_rules_match_udf)."""
+
+    @F.pandas_udf(ROBOTS_RULES_TYPE)
+    def parse_udf(body: pd.Series) -> pd.DataFrame:
+        delays, sms, rules = [], [], []
+        for b in body:
+            r = parse_robots(b or "", user_agent)
+            delays.append(r.crawl_delay)
+            sms.append(r.sitemaps)
+            rules.append(
+                [{"allow": a, "pattern": p} for a, p in r.raw]
+            )
+        return pd.DataFrame(
+            {"crawl_delay": delays, "sitemaps": sms, "rules": rules}
+        )
+
+    return robots.select("host", parse_udf(F.col("body")).alias("m")).select(
+        "host", "m.crawl_delay", "m.sitemaps", "m.rules"
+    )
+
+
+def make_rules_match_udf():
+    """Vectorized (path, rules) -> allowed. Regexes are compiled once
+    per distinct pattern per Arrow batch (patterns repeat heavily
+    because a host's rules ride every row of that host)."""
+
+    @F.pandas_udf("boolean")
+    def allowed(path: pd.Series, rules: pd.Series) -> pd.Series:
+        cache: dict[str, re.Pattern] = {}
+        out = []
+        for p, rl in zip(path, rules):
+            if rl is None or len(rl) == 0:
+                out.append(True)  # no robots.txt -> no restrictions
+                continue
+            p = p or "/"
+            verdict = True  # no match -> allowed (RFC 9309 §2.2.2)
+            for r in rl:  # already precedence-ordered
+                pat = r["pattern"]
+                rx = cache.get(pat)
+                if rx is None:
+                    rx = cache[pat] = _pattern_to_regex(pat)
+                if rx.match(p):
+                    verdict = bool(r["allow"])
+                    break
+            out.append(verdict)
+        return pd.Series(out)
+
+    return allowed
+
+
+def robots_filter_distributed(
+    df: DataFrame,
+    rules_table: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Filter to robots-allowed rows via a by-host join against the
+    rules-as-data table — the scale path (no driver collect)."""
+    match = make_rules_match_udf()
+    path = urlnorm.url_path_query(F.col(url_col))
+    joined = df.join(
+        rules_table.select(host_col, "rules"), host_col, "left"
+    )
+    return joined.where(match(path, F.col("rules"))).drop("rules")
 
 
 def build_robots_table(

@@ -108,10 +108,20 @@ def make_accept_udf(accept: Callable[[str, str | None], bool]):
 
 
 class ExpansionResult:
-    def __init__(self, frontier: DataFrame, errors: DataFrame, levels: int):
+    def __init__(self, frontier: DataFrame, errors: DataFrame, levels: int,
+                 persisted: list[DataFrame] | None = None):
         self.frontier = frontier  # (url, src_sitemap)
         self.errors = errors  # (sitemap_url, error)
         self.levels = levels
+        self._persisted = persisted or []
+
+    def cleanup(self) -> None:
+        """Release the per-level parse caches. Call after ``frontier``
+        and ``errors`` have been materialized (e.g. committed to the
+        frontier table) — consuming them afterwards re-parses."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
 
 
 def expand_sitemaps(
@@ -146,8 +156,11 @@ def expand_sitemaps(
             accept_filter = lambda url, kind: udf(url, kind)  # noqa: E731
 
     current = seed_sitemap_urls.select("sitemap_url").distinct()
+    visited = current  # cycle guard: an index cycle (A->B->A) must not
+    # re-fetch/re-parse the same sitemap every level until max_depth
     frontier_parts: list[DataFrame] = []
     error_parts: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     levels = 0
 
     for _depth in range(max_depth):
@@ -163,6 +176,7 @@ def expand_sitemaps(
             F.col("p.error").alias("error"),
         )
         parsed = parsed.persist()
+        persisted.append(parsed)
         errs = parsed.where(F.col("error").isNotNull()).select(
             "sitemap_url", "error"
         )
@@ -187,12 +201,17 @@ def expand_sitemaps(
         children = exploded.where(F.col("kind") == "INDEX").where(
             accept_filter(F.col("loc"), F.lit("INDEX"))
         )
-        nxt = children.select(F.col("loc").alias("sitemap_url")).distinct()
+        nxt = (
+            children.select(F.col("loc").alias("sitemap_url"))
+            .distinct()
+            .join(visited, "sitemap_url", "left_anti")
+        )
         levels += 1
-        # Child sitemap sets are tiny (index fan-out); count() is the
+        # Child sitemap sets are tiny (index fan-out); isEmpty() is the
         # loop condition and the only driver-side materialization.
         if nxt.isEmpty():
             break
+        visited = visited.unionByName(nxt)
         current = nxt
 
     frontier = frontier_parts[0]
@@ -201,4 +220,4 @@ def expand_sitemaps(
     errors = error_parts[0]
     for p in error_parts[1:]:
         errors = errors.unionByName(p)
-    return ExpansionResult(frontier, errors, levels)
+    return ExpansionResult(frontier, errors, levels, persisted)

@@ -124,6 +124,39 @@ class SnapshotTable:
         self._write_atomic(self._current_path(), str(version))
         return version
 
+    def set_current(self, version: int | None) -> None:
+        """Reset the CURRENT pointer (crash reconciliation). Snapshots
+        are immutable, so moving the pointer to an ancestor is safe;
+        ``None`` returns the table to the never-committed state."""
+        if version is None:
+            try:
+                os.remove(self._current_path())
+            except FileNotFoundError:
+                pass
+            return
+        if not os.path.exists(self._manifest_path(version)):
+            raise FileNotFoundError(f"no manifest v{version} in {self.root}")
+        self._write_atomic(self._current_path(), str(version))
+
+    def rollback_to_wave_before(self, next_wave: int, key: str = "wave") -> int:
+        """Roll CURRENT back to the newest snapshot whose lineage
+        ``key`` is < ``next_wave`` (or has no such key). Returns the
+        number of snapshots discarded. Used on resume: a crash between
+        a wave's table commits and the frontier pointer commit leaves
+        orphan wave-N snapshots that the replayed wave would duplicate
+        (ancestry walk; snapshots are immutable so this is safe)."""
+        dropped = 0
+        v = self.current_version()
+        while v is not None:
+            m = self.manifest(v)
+            if m.get("lineage", {}).get(key, -1) < next_wave:
+                break
+            v = m.get("parent")
+            dropped += 1
+        if dropped:
+            self.set_current(v)
+        return dropped
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
         if m is None:

@@ -187,6 +187,63 @@ def test_resume_equals_uninterrupted(spark, corpus, tables, tmp_path):
         pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
 
 
+def test_resume_mid_wave_crash_reconciles(spark, corpus, tables, tmp_path):
+    """A crash BETWEEN a wave's table commits and the frontier pointer
+    commit must not double-append on resume: reconciliation rolls
+    records/trace/seen/... back to the frontier's wave, then replays."""
+    _, t_full = run_crawl(
+        spark, tables, "wiki_pages", tmp_path / "full2", "fandom"
+    )
+    cfg = CrawlConfig(spec="fandom", wave_period=WAVE_PERIOD, max_waves=2)
+    crawl(
+        spark, cfg, str(tmp_path / "part2"),
+        scenario_seeds(tables, "wiki_pages"), tables["sitemaps"],
+        tables["robots"], tables["pages"],
+    )
+    state = CrawlState(str(tmp_path / "part2"))
+    next_wave = state.frontier.manifest()["lineage"]["next_wave"]
+
+    # simulate the torn wave: records/trace/seen got their wave-N
+    # commits, the frontier pointer did not
+    rec_g = (
+        state.records.read(spark).limit(1)
+        .withColumn("url", F.lit("CRASH"))
+        .withColumn("wave", F.lit(next_wave))
+    )
+    state.records.commit(rec_g, mode="append", lineage={"wave": next_wave})
+    state.trace.commit(
+        state.trace.read(spark).limit(1)
+        .withColumn("wave", F.lit(next_wave))
+        .withColumn("url", F.lit("CRASH")),
+        mode="append", lineage={"wave": next_wave},
+    )
+    state.seen.commit(
+        spark.createDataFrame(
+            [(123456789, "CRASH", next_wave)],
+            "url_hash long, url_canon string, wave int",
+        ),
+        mode="append", lineage={"wave": next_wave},
+    )
+
+    cfg2 = CrawlConfig(spec="fandom", wave_period=WAVE_PERIOD)
+    crawl(
+        spark, cfg2, str(tmp_path / "part2"),
+        scenario_seeds(tables, "wiki_pages"), tables["sitemaps"],
+        tables["robots"], tables["pages"], resume=True,
+    )
+    sf = CrawlState(str(tmp_path / "full2"))
+    sp = CrawlState(str(tmp_path / "part2"))
+    for name, key in (
+        ("trace", ["wave", "host", "url"]),
+        ("seen", ["url_canon"]),
+        ("records", ["url", "creature"]),
+    ):
+        a = getattr(sf, name).read(spark).toPandas().sort_values(key).reset_index(drop=True)
+        b = getattr(sp, name).read(spark).toPandas().sort_values(key).reset_index(drop=True)
+        assert not (b == "CRASH").any().any(), f"{name} kept torn-wave rows"
+        pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
 def test_robots_disallow_enforced(spark, corpus, tables, tmp_path):
     """A frontier URL under a Disallow prefix must never be scheduled."""
     seeds = spark.createDataFrame(
