@@ -24,19 +24,47 @@ from pyspark.sql import functions as F
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spec", default="fulltext",
                    help="extraction spec name (urbandict|fandom|fulltext)")
-    p.add_argument("-o", "--output", required=True, help="output CSV directory")
+    p.add_argument("-s", "--spec-file", default=None,
+                   help="load an ExtractionSpec from a Python file "
+                        "(mirrors `sws crawl -s script.lua`); wins over "
+                        "--spec")
+    p.add_argument("-o", "--output", default=None,
+                   help="output CSV directory; omitted -> records "
+                        "stream to stdout (scraper.rs:131-171)")
     p.add_argument("--append", action="store_true",
                    help="append to output (writer.rs:92-116 Append mode)")
     p.add_argument("--delimiter", default=",")
+    p.add_argument("--escape", default=None,
+                   help="escape char; disables double-quote escaping "
+                        "(writer.rs:28-38)")
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--on-scrap-error", choices=["skip", "fail"], default="skip")
+
+
+def _resolve_spec(args):
+    if args.spec_file:
+        from swspark.extract.specs import load_spec_file
+
+        return load_spec_file(args.spec_file)
+    return args.spec
+
+
+def _sink_records(records, args) -> None:
+    from swspark.sink import write_csv, write_csv_stdout
+
+    if args.output:
+        write_csv(records, args.output,
+                  mode="append" if args.append else "overwrite",
+                  delimiter=args.delimiter, escape=args.escape)
+    else:
+        write_csv_stdout(records, delimiter=args.delimiter,
+                         escape=args.escape)
 
 
 def cmd_crawl(args) -> int:
     from swspark.driver import CrawlConfig, CrawlState, crawl
     from swspark.scheduler import Throttle
     from swspark.session import get_spark
-    from swspark.sink import write_csv
 
     spark = get_spark("swspark-crawl", cores=args.cpus)
     kind, _, val = (args.throttle or "concurrent:100").partition(":")
@@ -46,7 +74,7 @@ def cmd_crawl(args) -> int:
         float(val or 100),
     )
     cfg = CrawlConfig(
-        spec=args.spec,
+        spec=_resolve_spec(args),
         user_agent=args.user_agent,
         wave_period=args.wave_period,
         throttle=throttle,
@@ -69,18 +97,15 @@ def cmd_crawl(args) -> int:
     )
     state = CrawlState(warehouse)
     records = state.records.read(spark)
-    write_csv(records, args.output,
-              mode="append" if args.append else "overwrite",
-              delimiter=args.delimiter)
-    print(f"crawl done: {totals}; warehouse={warehouse}; csv={args.output}",
-          file=sys.stderr)
+    _sink_records(records, args)
+    print(f"crawl done: {totals}; warehouse={warehouse}; "
+          f"csv={args.output or '<stdout>'}", file=sys.stderr)
     return 0
 
 
 def cmd_scrap(args) -> int:
     from swspark.extract.udf import apply_extraction
     from swspark.session import get_spark
-    from swspark.sink import write_csv
     from swspark.sources import read_html_glob, read_pages_parquet, single_page
 
     spark = get_spark("swspark-scrap", cores=args.cpus)
@@ -94,15 +119,14 @@ def cmd_scrap(args) -> int:
     else:
         print("one of --glob / --pages / --file is required", file=sys.stderr)
         return 2
-    rec, _urls, errs = apply_extraction(pages, args.spec)
+    rec, _urls, errs = apply_extraction(pages, _resolve_spec(args))
     n_err = errs.count()
     if n_err and args.on_scrap_error == "fail":
         print(f"{n_err} scrape errors (on-scrap-error=fail)", file=sys.stderr)
         return 1
-    write_csv(rec, args.output,
-              mode="append" if args.append else "overwrite",
-              delimiter=args.delimiter)
-    print(f"scrap done: errors={n_err}; csv={args.output}", file=sys.stderr)
+    _sink_records(rec, args)
+    print(f"scrap done: errors={n_err}; csv={args.output or '<stdout>'}",
+          file=sys.stderr)
     return 0
 
 

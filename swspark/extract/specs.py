@@ -28,42 +28,183 @@ from swspark.extract.dom import Html
 Records = list[list[str]]
 Urls = list[str]
 
-# Locale-independent %B month names (chrono's Date parse is always
-# English; interop.rs:204-222).
-_MONTHS = {
-    m: i + 1
-    for i, m in enumerate(
-        [
-            "January", "February", "March", "April", "May", "June",
-            "July", "August", "September", "October", "November", "December",
-        ]
-    )
-}
+# Locale-independent month/weekday names (chrono's Date parse/format
+# is always English; interop.rs:204-222).
+_MONTH_NAMES = [
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+]
+_MONTHS = {m: i + 1 for i, m in enumerate(_MONTH_NAMES)}
+_MONTHS_ABBR = {m[:3]: i + 1 for i, m in enumerate(_MONTH_NAMES)}
 _MONTHS_BY_NUM = {v: k for k, v in _MONTHS.items()}
+_WEEKDAY_NAMES = [
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+    "Saturday", "Sunday",
+]
+
+# chrono-NaiveDate strftime subset (interop.rs:204-222 delegates the
+# full chrono vocabulary; this covers the date-bearing specifiers plus
+# parse-and-ignore time fields, as NaiveDate::parse_from_str does)
+_PARSE_TOKENS: dict[str, str] = {
+    "Y": r"(-?\d{4})",
+    "y": r"(\d{2})",
+    "m": r"(\d{1,2})",
+    "d": r"(\d{1,2})",
+    "e": r"\s?(\d{1,2})",
+    "B": r"([A-Za-z]+)",
+    "b": r"([A-Za-z]+)",
+    "h": r"([A-Za-z]+)",  # alias of %b
+    "j": r"(\d{1,3})",
+    "a": r"([A-Za-z]+)",
+    "A": r"([A-Za-z]+)",
+    # time-of-day: parsed then discarded (NaiveDate semantics)
+    "H": r"(\d{1,2})",
+    "M": r"(\d{1,2})",
+    "S": r"(\d{1,2})",
+}
+# compound specifiers expand before tokenization, like chrono
+_COMPOUND = {"D": "%m/%d/%y", "F": "%Y-%m-%d", "v": "%e-%b-%Y",
+             "T": "%H:%M:%S", "R": "%H:%M"}
+
+
+def _expand_fmt(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt) and fmt[i + 1] in _COMPOUND:
+            out.append(_COMPOUND[fmt[i + 1]])
+            i += 2
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
 
 
 def parse_date(s: str, fmt: str) -> tuple[int, int, int]:
-    """Minimal chrono-NaiveDate-compatible strptime for the specifiers
-    the reference scripts use: %B %d %Y %m (interop.rs:204-222).
-    Locale-independent by construction."""
-    pat = re.escape(fmt)
-    pat = pat.replace(r"%B", r"(?P<B>[A-Za-z]+)")
-    pat = pat.replace(r"%d", r"(?P<d>\d{1,2})")
-    pat = pat.replace(r"%m", r"(?P<m>\d{1,2})")
-    pat = pat.replace(r"%Y", r"(?P<Y>\d{4})")
-    m = re.fullmatch(pat, s.strip())
+    """chrono-NaiveDate-compatible strptime (interop.rs:204-222):
+    %Y %y %m %d %e %B %b %h %j %a %A %H %M %S %D %F %v %T %R %%.
+    Locale-independent by construction; like NaiveDate, time-of-day
+    fields parse but don't affect the result, %y maps 00-68 -> 20xx /
+    69-99 -> 19xx, and %j resolves an ordinal date when month/day are
+    absent (validated for consistency when both are present)."""
+    fmt = _expand_fmt(fmt)
+    pat_parts: list[str] = []
+    groups: list[str] = []  # spec letter per capture group, in order
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError(f"dangling %% in format {fmt!r}")
+            spec = fmt[i + 1]
+            if spec == "%":
+                pat_parts.append(re.escape("%"))
+            elif spec in _PARSE_TOKENS:
+                pat_parts.append(_PARSE_TOKENS[spec])
+                groups.append(spec)
+            else:
+                raise ValueError(f"unsupported date specifier %{spec}")
+            i += 2
+        else:
+            pat_parts.append(re.escape(c))
+            i += 1
+    m = re.fullmatch("".join(pat_parts), s.strip())
     if not m:
         raise ValueError(f"date {s!r} does not match format {fmt!r}")
-    g = m.groupdict()
-    month = _MONTHS[g["B"]] if g.get("B") else int(g.get("m") or 1)
-    return int(g["Y"]), month, int(g.get("d") or 1)
+
+    vals = dict(zip(groups, m.groups()))  # last occurrence wins (chrono)
+    year = month = day = None
+    if "Y" in vals:
+        year = int(vals["Y"])
+    elif "y" in vals:
+        yy = int(vals["y"])
+        year = 2000 + yy if yy <= 68 else 1900 + yy
+    for k in ("B",):
+        if k in vals:
+            if vals[k] not in _MONTHS:
+                raise ValueError(f"unknown month name {vals[k]!r}")
+            month = _MONTHS[vals[k]]
+    for k in ("b", "h"):
+        if k in vals:
+            key = vals[k][:3].title()
+            if key not in _MONTHS_ABBR:
+                raise ValueError(f"unknown month abbreviation {vals[k]!r}")
+            month = _MONTHS_ABBR[key]
+    if "m" in vals:
+        month = int(vals["m"])
+    if "d" in vals:
+        day = int(vals["d"])
+    if "e" in vals:
+        day = int(vals["e"])
+    if year is None:
+        raise ValueError(f"format {fmt!r} carries no year")
+
+    import datetime as _dt
+
+    if "j" in vals and (month is None or day is None):
+        d = _dt.date(year, 1, 1) + _dt.timedelta(days=int(vals["j"]) - 1)
+        if d.year != year:
+            raise ValueError(f"ordinal {vals['j']} out of range for {year}")
+        month, day = d.month, d.day
+    if month is None or day is None:
+        raise ValueError(f"format {fmt!r} does not determine month/day")
+    d = _dt.date(year, month, day)  # raises on impossible dates
+    if "j" in vals and d.timetuple().tm_yday != int(vals["j"]):
+        raise ValueError(f"day-of-year {vals['j']} inconsistent with {d}")
+    for k, names in (("a", [w[:3] for w in _WEEKDAY_NAMES]),
+                     ("A", _WEEKDAY_NAMES)):
+        if k in vals and vals[k].title() not in names:
+            raise ValueError(f"unknown weekday {vals[k]!r}")
+        if k in vals and names.index(vals[k].title()) != d.weekday():
+            raise ValueError(f"weekday {vals[k]!r} inconsistent with {d}")
+    return year, month, day
 
 
 def format_date(ymd: tuple[int, int, int], fmt: str) -> str:
-    y, mo, d = ymd
-    out = fmt.replace("%Y", f"{y:04d}").replace("%m", f"{mo:02d}")
-    out = out.replace("%d", f"{d:02d}").replace("%B", _MONTHS_BY_NUM[mo])
-    return out
+    """chrono NaiveDate::format subset — date-bearing specifiers only
+    (formatting a NaiveDate with time specifiers is an error in chrono
+    too)."""
+    import datetime as _dt
+
+    y, mo, dd = ymd
+    d = _dt.date(y, mo, dd)
+    fmt = _expand_fmt(fmt)
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(fmt):
+            raise ValueError(f"dangling %% in format {fmt!r}")
+        spec = fmt[i + 1]
+        if spec == "%":
+            out.append("%")
+        elif spec == "Y":
+            out.append(f"{y:04d}")
+        elif spec == "y":
+            out.append(f"{y % 100:02d}")
+        elif spec == "m":
+            out.append(f"{mo:02d}")
+        elif spec == "d":
+            out.append(f"{dd:02d}")
+        elif spec == "e":
+            out.append(f"{dd:2d}")
+        elif spec == "B":
+            out.append(_MONTHS_BY_NUM[mo])
+        elif spec in ("b", "h"):
+            out.append(_MONTHS_BY_NUM[mo][:3])
+        elif spec == "j":
+            out.append(f"{d.timetuple().tm_yday:03d}")
+        elif spec == "a":
+            out.append(_WEEKDAY_NAMES[d.weekday()][:3])
+        elif spec == "A":
+            out.append(_WEEKDAY_NAMES[d.weekday()])
+        else:
+            raise ValueError(f"unsupported date format specifier %{spec}")
+        i += 2
+    return "".join(out)
 
 
 def sws_date(s: str, in_fmt: str, out_fmt: str) -> str:
@@ -272,3 +413,32 @@ FULLTEXT = ExtractionSpec(
 SPECS: dict[str, ExtractionSpec] = {
     s.name: s for s in (URBANDICT, FANDOM, FULLTEXT)
 }
+
+
+def load_spec_file(path: str) -> ExtractionSpec:
+    """Load a user extraction spec from a Python file — the engine's
+    `sws crawl -s my_script.lua` (scraper.rs:36-127, main.rs:105-154):
+    arbitrary user scrape logic loaded at startup, no package edits.
+
+    The file must define either ``SPEC`` (an ExtractionSpec) or a
+    zero-arg ``get_spec()`` returning one. The module is deliberately
+    NOT registered in sys.modules: cloudpickle then serializes its
+    accept_url/scrap_page functions BY VALUE, so the broadcast UDF
+    closure works on executors that never saw the file."""
+    import importlib.util
+
+    mspec = importlib.util.spec_from_file_location(
+        f"_swspark_user_spec_{abs(hash(path))}", path
+    )
+    if mspec is None or mspec.loader is None:
+        raise ValueError(f"cannot load spec file {path!r}")
+    mod = importlib.util.module_from_spec(mspec)
+    mspec.loader.exec_module(mod)
+    obj = getattr(mod, "SPEC", None)
+    if obj is None and hasattr(mod, "get_spec"):
+        obj = mod.get_spec()
+    if not isinstance(obj, ExtractionSpec):
+        raise ValueError(
+            f"{path!r} must define SPEC (ExtractionSpec) or get_spec()"
+        )
+    return obj
