@@ -38,7 +38,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="escape char; disables double-quote escaping "
                         "(writer.rs:28-38)")
     p.add_argument("--cpus", type=int, default=None)
-    p.add_argument("--on-scrap-error", choices=["skip", "fail"], default="skip")
+    # None defaults: "was this flag set?" drives CLI > spec > default
+    p.add_argument("--on-scrap-error", choices=["skip", "fail"], default=None)
 
 
 def _resolve_spec(args):
@@ -67,22 +68,34 @@ def cmd_crawl(args) -> int:
     from swspark.session import get_spark
 
     spark = get_spark("swspark-crawl", cores=args.cpus)
-    kind, _, val = (args.throttle or "concurrent:100").partition(":")
+    spec = _resolve_spec(args)
+    # precedence: CLI flag > spec-file config > engine default
+    # (main.rs:120-150's CLI > Lua > defaults)
+    spec_conf = dict(getattr(spec, "config", None) or {})
+
+    def layered(key, default):
+        cli = getattr(args, key, None)
+        if cli is not None:
+            return cli
+        return spec_conf.get(key, default)
+
+    throttle_s = layered("throttle", "concurrent:100")
+    kind, _, val = throttle_s.partition(":")
     throttle = Throttle(
         {"concurrent": "CONCURRENT", "per-second": "PER_SECOND",
          "delay": "DELAY"}[kind],
         float(val or 100),
     )
     cfg = CrawlConfig(
-        spec=_resolve_spec(args),
-        user_agent=args.user_agent,
-        wave_period=args.wave_period,
+        spec=spec,
+        user_agent=layered("user_agent", "SWSbot"),
+        wave_period=layered("wave_period", 10.0),
         throttle=throttle,
-        max_waves=args.max_waves,
-        max_urls_per_wave=args.max_urls_per_wave,
-        on_dl_error=args.on_dl_error,
-        on_xml_error=args.on_xml_error,
-        on_scrap_error=args.on_scrap_error,
+        max_waves=layered("max_waves", 100),
+        max_urls_per_wave=layered("max_urls_per_wave", None),
+        on_dl_error=layered("on_dl_error", "skip"),
+        on_xml_error=layered("on_xml_error", "skip"),
+        on_scrap_error=layered("on_scrap_error", "skip"),
     )
     seeds = spark.read.parquet(args.seeds)
     if args.scenario:
@@ -119,9 +132,13 @@ def cmd_scrap(args) -> int:
     else:
         print("one of --glob / --pages / --file is required", file=sys.stderr)
         return 2
-    rec, _urls, errs = apply_extraction(pages, _resolve_spec(args))
+    spec = _resolve_spec(args)
+    rec, _urls, errs = apply_extraction(pages, spec)
     n_err = errs.count()
-    if n_err and args.on_scrap_error == "fail":
+    scrap_policy = args.on_scrap_error or (
+        (getattr(spec, "config", None) or {}).get("on_scrap_error", "skip")
+    )
+    if n_err and scrap_policy == "fail":
         print(f"{n_err} scrape errors (on-scrap-error=fail)", file=sys.stderr)
         return 1
     _sink_records(rec, args)
@@ -143,14 +160,14 @@ def main(argv=None) -> int:
     c.add_argument("--scenario", default=None)
     c.add_argument("--warehouse", default=None)
     c.add_argument("--resume", action="store_true")
-    c.add_argument("--user-agent", default="SWSbot")
-    c.add_argument("--wave-period", type=float, default=10.0)
-    c.add_argument("--max-waves", type=int, default=100)
+    c.add_argument("--user-agent", default=None)
+    c.add_argument("--wave-period", type=float, default=None)
+    c.add_argument("--max-waves", type=int, default=None)
     c.add_argument("--max-urls-per-wave", type=int, default=None)
     c.add_argument("--throttle", default=None,
                    help="concurrent:N | per-second:N | delay:S")
-    c.add_argument("--on-dl-error", choices=["skip", "fail"], default="skip")
-    c.add_argument("--on-xml-error", choices=["skip", "fail"], default="skip")
+    c.add_argument("--on-dl-error", choices=["skip", "fail"], default=None)
+    c.add_argument("--on-xml-error", choices=["skip", "fail"], default=None)
     c.set_defaults(fn=cmd_crawl)
 
     s = sub.add_parser("scrap", help="offline batch scrape")

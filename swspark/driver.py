@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 
 from swspark import urlnorm
 from swspark.extract.specs import SPECS, ExtractionSpec
-from swspark.extract.udf import apply_extraction
+from swspark.extract.udf import apply_extraction, spec_wants_context
 from swspark.fetch import fetch_pages
 from swspark.robots import build_robots_rules_table, robots_filter_distributed
 from swspark.scheduler import Throttle, salted_repartition, schedule_wave
@@ -155,7 +155,7 @@ def init_frontier(
         )
         res = expand_sitemaps(
             spark, seed_sm, sitemaps, accept=accept,
-            on_xml_error=config.on_xml_error,
+            on_xml_error=config.on_xml_error, rules_table=rules_table,
         )
         frontier_urls = res.frontier.select("url")
         xml_errors = res.errors
@@ -164,7 +164,7 @@ def init_frontier(
         seed_sm = seeds.select(F.col("seed").alias("sitemap_url"))
         res = expand_sitemaps(
             spark, seed_sm, sitemaps, accept=accept,
-            on_xml_error=config.on_xml_error,
+            on_xml_error=config.on_xml_error, rules_table=rules_table,
         )
         frontier_urls = res.frontier.select("url")
         xml_errors = res.errors
@@ -268,6 +268,12 @@ def crawl(
         fetched, dl_errs, obs = fetch_pages(
             scheduled, pages, on_dl_error=config.on_dl_error
         )
+        if spec_wants_context(spec):
+            # ctx.robot() support: ride the host's rules-as-data onto
+            # the pages (broadcast-joined; same table politeness uses)
+            fetched = fetched.join(
+                rules_table.select("host", "rules"), "host", "left"
+            )
         rec, disc, scrap_errs = apply_extraction(fetched, spec)
         rec = rec.withColumn("wave", F.lit(wave))
 

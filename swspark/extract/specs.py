@@ -221,6 +221,11 @@ class ExtractionSpec:
     # Output field names, fixed arity (the reference's CSV is headerless
     # and variable-arity — writer.rs:9-12; we pin the schema instead).
     fields: tuple[str, ...] = field(default=())
+    # Script-level crawler config (sws: `sws.seedSitemaps{...}` blocks
+    # carry crawlerConfig; main.rs:120-150). Keys mirror CrawlConfig
+    # fields (user_agent, wave_period, throttle, on_dl_error, ...).
+    # Precedence: CLI flag > spec.config > engine default.
+    config: dict | None = None
 
 
 # --------------------------------------------------------------------

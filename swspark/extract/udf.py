@@ -17,6 +17,8 @@ never a task failure.
 
 from __future__ import annotations
 
+import inspect
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -38,6 +40,37 @@ EXTRACT_RESULT_TYPE = StructType(
 )
 
 
+class ScrapingContext:
+    """Per-call scraping context — the reference's Lua context surface
+    (interop.rs:231-274, 309-329): ``workerId()`` is the executor task
+    slot processing the page (Spark partition id ≙ worker index) and
+    ``robot()`` is the host's parsed robots handle (None unless the
+    caller joined the rules-as-data column onto the pages)."""
+
+    __slots__ = ("url", "_worker_id", "_robot")
+
+    def __init__(self, url: str, worker_id: int, robot=None):
+        self.url = url
+        self._worker_id = worker_id
+        self._robot = robot
+
+    def worker_id(self) -> int:  # interop.rs:309-315
+        return self._worker_id
+
+    def robot(self):  # interop.rs:325-329
+        return self._robot
+
+
+def spec_wants_context(spec: ExtractionSpec | str) -> bool:
+    """True when scrap_page declares a third (context) parameter."""
+    if isinstance(spec, str):
+        spec = SPECS[spec]
+    try:
+        return len(inspect.signature(spec.scrap_page).parameters) >= 3
+    except (TypeError, ValueError):
+        return False
+
+
 def extraction_schema(spec: ExtractionSpec) -> StructType:
     """Fixed output schema for a spec's records (the reference's CSV
     is headerless/untyped — writer.rs:9-12; we pin names instead)."""
@@ -45,20 +78,36 @@ def extraction_schema(spec: ExtractionSpec) -> StructType:
 
 
 def make_extract_udf(spec: ExtractionSpec | str):
-    """Build the Arrow pandas UDF for a spec (broadcast via closure)."""
+    """Build the Arrow pandas UDF for a spec (broadcast via closure).
+    Context-aware specs (scrap_page(page, url, ctx)) get a
+    ScrapingContext built per row; the three-column variant also takes
+    the host's rules-as-data array so ctx.robot() works."""
     if isinstance(spec, str):
         spec = SPECS[spec]
     scrap = spec.scrap_page
+    wants_ctx = spec_wants_context(spec)
 
-    @F.pandas_udf(EXTRACT_RESULT_TYPE)
-    def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+    def _run_batch(url, html, rules=None):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        worker_id = tc.partitionId() if tc is not None else 0
+        from swspark.robots import compile_raw_rules
+
         records_out, urls_out, errors_out = [], [], []
-        for u, h in zip(url, html):
+        rules_iter = rules if rules is not None else [None] * len(url)
+        for u, h, rl in zip(url, html, rules_iter):
             try:
                 if h is None:
                     raise ValueError("null html")
                 doc = Html.parse_document(h)
-                recs, urls = scrap(doc, u)
+                if wants_ctx:
+                    robot = compile_raw_rules(rl) if rl is not None else None
+                    recs, urls = scrap(
+                        doc, u, ScrapingContext(u, worker_id, robot)
+                    )
+                else:
+                    recs, urls = scrap(doc, u)
                 records_out.append(recs)
                 urls_out.append(urls)
                 errors_out.append(None)
@@ -69,6 +118,19 @@ def make_extract_udf(spec: ExtractionSpec | str):
         return pd.DataFrame(
             {"records": records_out, "urls": urls_out, "error": errors_out}
         )
+
+    if wants_ctx:
+
+        @F.pandas_udf(EXTRACT_RESULT_TYPE)
+        def extract(url: pd.Series, html: pd.Series,
+                    rules: pd.Series) -> pd.DataFrame:
+            return _run_batch(url, html, rules)
+
+    else:
+
+        @F.pandas_udf(EXTRACT_RESULT_TYPE)
+        def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+            return _run_batch(url, html)
 
     return extract
 
@@ -86,7 +148,21 @@ def apply_extraction(df, spec: ExtractionSpec | str, url_col: str = "url",
     if isinstance(spec, str):
         spec = SPECS[spec]
     udf = make_extract_udf(spec)
-    base = df.withColumn("_ex", udf(F.col(url_col), F.col(html_col)))
+    if spec_wants_context(spec):
+        # ctx.robot() reads the host's rules-as-data column when the
+        # caller joined it (swspark.robots.build_robots_rules_table);
+        # otherwise the context carries robot=None
+        rules_col = (
+            F.col("rules") if "rules" in df.columns
+            else F.lit(None).cast(
+                "array<struct<allow:boolean,pattern:string>>"
+            )
+        )
+        base = df.withColumn(
+            "_ex", udf(F.col(url_col), F.col(html_col), rules_col)
+        )
+    else:
+        base = df.withColumn("_ex", udf(F.col(url_col), F.col(html_col)))
 
     rec = base.select(url_col, F.explode("_ex.records").alias("_r"))
     rec = rec.select(

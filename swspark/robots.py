@@ -210,6 +210,24 @@ def build_robots_rules_table(
     )
 
 
+def compile_raw_rules(
+    raw, crawl_delay: float | None = None
+) -> RobotRules:
+    """Rehydrate a matcher from the rules-as-data form (an array of
+    {allow, pattern} structs, already precedence-ordered) — used to
+    hand user hooks a ``robot()`` handle inside Arrow UDF batches
+    (interop.rs:325-329)."""
+    compiled = [
+        (bool(r["allow"]), len(r["pattern"]), _pattern_to_regex(r["pattern"]))
+        for r in (raw if raw is not None else [])
+    ]
+    return RobotRules(
+        rules=compiled,
+        crawl_delay=crawl_delay,
+        raw=[(bool(r["allow"]), r["pattern"]) for r in (raw or [])],
+    )
+
+
 def make_rules_match_udf():
     """Vectorized (path, rules) -> allowed. Regexes are compiled once
     per distinct pattern per Arrow batch (patterns repeat heavily

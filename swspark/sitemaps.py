@@ -89,6 +89,46 @@ def sitemap_parse_udf(body: pd.Series) -> pd.DataFrame:
 AcceptCol = Callable[[Column, Column], Column]
 
 
+class CrawlingContext:
+    """acceptUrl context (scraper.rs:208-227): the sitemap kind being
+    walked plus the host's robots handle (interop.rs:231-274).
+    ``robot()`` is None when no rules table was supplied."""
+
+    __slots__ = ("_kind", "_robot")
+
+    def __init__(self, kind: str | None, robot=None):
+        self._kind = kind
+        self._robot = robot
+
+    def sitemap(self) -> str | None:
+        return self._kind
+
+    def robot(self):
+        return self._robot
+
+
+def make_accept_ctx_udf(accept: Callable[[str, str | None, "CrawlingContext"], bool]):
+    """Vectorized filter for a context-aware acceptUrl(url, kind, ctx)
+    predicate; the rules-as-data column rides the batch so ctx.robot()
+    works on executors."""
+
+    @F.pandas_udf("boolean")
+    def accept_udf(url: pd.Series, kind: pd.Series,
+                   rules: pd.Series) -> pd.Series:
+        from swspark.robots import compile_raw_rules
+
+        out = []
+        for u, k, rl in zip(url, kind, rules):
+            try:
+                robot = compile_raw_rules(rl) if rl is not None else None
+                out.append(bool(accept(u, k, CrawlingContext(k, robot))))
+            except Exception:
+                out.append(False)  # Lua error -> reject+log, scraper.rs:216-226
+        return pd.Series(out)
+
+    return accept_udf
+
+
 def make_accept_udf(accept: Callable[[str, str | None], bool]):
     """Vectorized boolean filter UDF for a Python acceptUrl predicate
     (A31). Prefer an AcceptCol built-in expression when the predicate
@@ -128,32 +168,72 @@ def expand_sitemaps(
     spark: SparkSession,
     seed_sitemap_urls: DataFrame,
     sitemaps: DataFrame,
-    accept: AcceptCol | Callable[[str, str | None], bool] | None = None,
+    accept: AcceptCol | Callable[..., bool] | None = None,
     on_xml_error: str = "skip",
     max_depth: int = 8,
+    rules_table: DataFrame | None = None,
 ) -> ExpansionResult:
     """BFS-expand seed sitemaps into a page-URL frontier.
 
     seed_sitemap_urls: DataFrame with column ``sitemap_url``.
     sitemaps: the sitemaps table ``(sitemap_url, kind, body)`` — the
     simulated fetch source.
-    accept: either a (url_col, kind_col) -> BooleanType Column factory
-    (pushdown-friendly) or a plain Python ``(url, kind) -> bool``.
+    accept: a (url_col, kind_col) -> BooleanType Column factory
+    (pushdown-friendly), a plain Python ``(url, kind) -> bool``, or a
+    context-aware ``(url, kind, ctx) -> bool`` whose ctx exposes
+    ``sitemap()``/``robot()`` (requires ``rules_table``, the
+    rules-as-data robots table, for a non-None robot).
     """
+    ctx_accept = False
     if accept is None:
         accept_filter = lambda url, kind: F.lit(True)  # noqa: E731
     elif callable(accept) and not isinstance(accept, Column):
-        # Probe: try building a Column; else wrap as UDF.
+        import inspect
+
         try:
-            probe = accept(F.lit("x"), F.lit("URLSET"))
-            is_col = isinstance(probe, Column)
-        except Exception:
-            is_col = False
-        if is_col:
-            accept_filter = accept
+            n_params = len(inspect.signature(accept).parameters)
+        except (TypeError, ValueError):
+            n_params = 2
+        if n_params >= 3:
+            ctx_accept = True
+            ctx_udf = make_accept_ctx_udf(accept)
         else:
-            udf = make_accept_udf(accept)
-            accept_filter = lambda url, kind: udf(url, kind)  # noqa: E731
+            # Probe: try building a Column; else wrap as UDF.
+            try:
+                probe = accept(F.lit("x"), F.lit("URLSET"))
+                is_col = isinstance(probe, Column)
+            except Exception:
+                is_col = False
+            if is_col:
+                accept_filter = accept
+            else:
+                udf = make_accept_udf(accept)
+                accept_filter = lambda url, kind: udf(url, kind)  # noqa: E731
+    if ctx_accept:
+        from swspark import urlnorm
+
+        null_rules = F.lit(None).cast(
+            "array<struct<allow:boolean,pattern:string>>"
+        )
+
+        def _with_rules(df: DataFrame) -> DataFrame:
+            if rules_table is None:
+                return df.withColumn("rules", null_rules)
+            return (
+                df.withColumn("_h", urlnorm.url_host(F.col("loc")))
+                .join(
+                    rules_table.select(
+                        F.col("host").alias("_h"), "rules"
+                    ),
+                    "_h",
+                    "left",
+                )
+                .drop("_h")
+            )
+
+        accept_filter = lambda url, kind: ctx_udf(  # noqa: E731
+            url, kind, F.col("rules")
+        )
 
     current = seed_sitemap_urls.select("sitemap_url").distinct()
     visited = current  # cycle guard: an index cycle (A->B->A) must not
@@ -189,6 +269,8 @@ def expand_sitemaps(
         exploded = parsed.where(F.col("error").isNull()).select(
             "sitemap_url", "kind", F.explode("locs").alias("loc")
         )
+        if ctx_accept:
+            exploded = _with_rules(exploded)
         # urlset leaves -> page URLs under acceptUrl(URL_SET)
         pages = exploded.where(F.col("kind") == "URLSET").where(
             accept_filter(F.col("loc"), F.lit("URLSET"))

@@ -120,6 +120,138 @@ def test_cli_scrap_with_spec_file_to_stdout(tmp_path):
     assert all(len(row) == 3 and row[2].isdigit() for row in rows)
 
 
+# --- scraping/crawling context surface (interop.rs:231-274,309-329) ----
+
+
+def test_scrap_context_worker_and_robot(spark):
+    from swspark.extract.specs import ExtractionSpec
+    from swspark.extract.udf import apply_extraction
+    from swspark.robots import build_robots_rules_table
+
+    robots = spark.createDataFrame(
+        [("h.test", "User-agent: *\nDisallow: /private/")],
+        "host string, body string",
+    )
+    rules = build_robots_rules_table(robots)
+    pages = spark.createDataFrame(
+        [("https://h.test/a", "h.test",
+          bytearray(b"<html><body>hi</body></html>"))],
+        "url string, host string, html binary",
+    )
+    df = pages.join(rules.select("host", "rules"), "host", "left")
+
+    def scrap(page, url, ctx):
+        rb = ctx.robot()
+        return [[
+            str(ctx.worker_id() >= 0),
+            str(rb.allowed("/private/x")),
+            str(rb.allowed("/pub")),
+        ]], []
+
+    spec = ExtractionSpec(
+        name="ctx", version=1, accept_url=lambda u, k: True,
+        scrap_page=scrap,
+        fields=("wid_ok", "private_allowed", "pub_allowed"),
+    )
+    rec, _urls, errs = apply_extraction(df, spec)
+    row = rec.first()
+    assert (row.wid_ok, row.private_allowed, row.pub_allowed) == (
+        "True", "False", "True",
+    )
+    assert errs.count() == 0
+
+
+def test_accept_context_robot(spark):
+    from swspark.robots import build_robots_rules_table
+    from swspark.sitemaps import expand_sitemaps
+
+    robots = spark.createDataFrame(
+        [("h.test", "User-agent: *\nDisallow: /private/")],
+        "host string, body string",
+    )
+    rules = build_robots_rules_table(robots)
+    body = (
+        b'<?xml version="1.0"?>'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<url><loc>https://h.test/private/x</loc></url>"
+        b"<url><loc>https://h.test/ok</loc></url></urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("https://h.test/sitemap.xml", "URLSET", bytearray(body))],
+        "sitemap_url string, kind string, body binary",
+    )
+    seeds = spark.createDataFrame(
+        [("https://h.test/sitemap.xml",)], "sitemap_url string"
+    )
+
+    def accept(url, kind, ctx):
+        from urllib.parse import urlparse
+
+        assert ctx.sitemap() == kind
+        rb = ctx.robot()
+        return rb is None or rb.allowed(urlparse(url).path)
+
+    res = expand_sitemaps(
+        spark, seeds, sitemaps, accept=accept, rules_table=rules
+    )
+    urls = sorted(r.url for r in res.frontier.select("url").collect())
+    assert urls == ["https://h.test/ok"]
+    res.cleanup()
+
+
+# --- config precedence: CLI > spec config > defaults --------------------
+
+CONF_SPEC = textwrap.dedent(
+    """
+    import dataclasses
+    from swspark.extract.specs import URBANDICT
+
+    SPEC = dataclasses.replace(
+        URBANDICT, name="ud_conf", config={"max_waves": 1}
+    )
+    """
+)
+
+
+def _crawl_waves(corpus_dir, spec_path, tmp_out, extra):
+    r = subprocess.run(
+        [sys.executable, "-m", "swspark", "crawl",
+         "--spec-file", str(spec_path),
+         "--seeds", os.path.join(corpus_dir, "seeds.parquet"),
+         "--sitemaps", os.path.join(corpus_dir, "sitemaps.parquet"),
+         "--robots", os.path.join(corpus_dir, "robots.parquet"),
+         "--pages", os.path.join(corpus_dir, "pages.parquet"),
+         "--scenario", "dict_sitemap", "--cpus", "4",
+         "-o", str(tmp_out)] + extra,
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import re as _re
+
+    m = _re.search(r"'waves': (\d+)", r.stderr)
+    assert m, r.stderr[-500:]
+    return int(m.group(1))
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    from swspark.fixtures import ensure_corpus
+
+    d = tmp_path_factory.mktemp("corpus_conf")
+    return ensure_corpus(str(d), "tiny")
+
+
+def test_config_precedence_cli_over_spec(corpus_dir, tmp_path):
+    spec_path = tmp_path / "conf_spec.py"
+    spec_path.write_text(CONF_SPEC)
+    # spec config caps max_waves at 1 (engine default is 100)
+    assert _crawl_waves(corpus_dir, spec_path, tmp_path / "o1", []) == 1
+    # explicit CLI flag overrides the spec config
+    assert _crawl_waves(
+        corpus_dir, spec_path, tmp_path / "o2", ["--max-waves", "2"]
+    ) == 2
+
+
 # --- flexible-arity CSV + escape semantics ------------------------------
 
 
