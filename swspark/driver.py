@@ -340,28 +340,9 @@ def crawl(
         )
 
         # --- next frontier: remove attempted, add discovered ----------
-        # Anti-join against THIS WAVE's seen delta only: prior waves'
-        # seen ∩ frontier is empty by induction, so the O(|seen|)
-        # shuffle of the accumulated table is unnecessary. The delta is
-        # wave-sized — broadcast it while small so the frontier side
-        # never shuffles at all.
-        delta_keys = seen_delta.select("url_hash", "url_canon")
-        if n_sched <= config.delta_broadcast_max:
-            delta_keys = F.broadcast(delta_keys)
-        remaining = frontier.join(
-            delta_keys, ["url_hash", "url_canon"], "left_anti"
-        )
-        # Merge pending + newly-discovered in ONE shuffle: union then
-        # per-key min_by(discovered_wave) keeps the existing frontier
-        # row when a URL is rediscovered (deterministic: remaining rows
-        # carry waves <= wave, disc_new rows are wave+1, and each side
-        # is already unique by key).
-        merged = remaining.unionByName(disc_new)
-        row = F.struct(*[F.col(f.name) for f in FRONTIER_SCHEMA.fields])
-        next_frontier = (
-            merged.groupBy("url_hash", "url_canon")
-            .agg(F.min_by(row, F.col("discovered_wave")).alias("r"))
-            .select("r.*")
+        next_frontier = build_next_frontier(
+            frontier, seen_delta, disc_new,
+            broadcast_delta=n_sched <= config.delta_broadcast_max,
         )
 
         m = obs.get
@@ -392,6 +373,41 @@ def crawl(
     )
     totals["seen"] = state.seen.read(spark).count() if state.seen.exists() else 0
     return totals
+
+
+def build_next_frontier(
+    frontier: DataFrame,
+    seen_delta: DataFrame,
+    disc_new: DataFrame,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """One wave's frontier update, shaped for 10^10-row frontiers.
+
+    Anti-join against THIS WAVE's seen delta only: prior waves' seen
+    ∩ frontier is empty by induction, so the O(|seen|) shuffle of the
+    accumulated table is unnecessary. The delta is wave-sized —
+    broadcast it (broadcast_delta) so the frontier side never shuffles
+    for the anti-join at all; oversized waves fall back to a shuffle
+    join. Pending + newly-discovered rows then merge in ONE shuffle:
+    union → per-key min_by(discovered_wave) keeps the existing
+    frontier row when a URL is rediscovered (deterministic: remaining
+    rows carry waves <= wave, disc_new rows are wave+1, and each side
+    is already unique by key). Plan shape is pinned by
+    tests/test_plans.py.
+    """
+    delta_keys = seen_delta.select("url_hash", "url_canon")
+    if broadcast_delta:
+        delta_keys = F.broadcast(delta_keys)
+    remaining = frontier.join(
+        delta_keys, ["url_hash", "url_canon"], "left_anti"
+    )
+    merged = remaining.unionByName(disc_new)
+    row = F.struct(*[F.col(f.name) for f in FRONTIER_SCHEMA.fields])
+    return (
+        merged.groupBy("url_hash", "url_canon")
+        .agg(F.min_by(row, F.col("discovered_wave")).alias("r"))
+        .select("r.*")
+    )
 
 
 def _rebuild_blooms(

@@ -120,6 +120,35 @@ def test_brute_force_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # no global sort
 
 
+def test_driver_frontier_update_plan(spark, pages_parquet):
+    """The per-wave frontier update must (a) anti-join against the
+    wave DELTA via broadcast — the big frontier side never shuffles
+    for it — and (b) spend exactly one exchange total (the merge
+    groupBy), never a shuffle keyed on the accumulated seen table."""
+    from swspark.driver import FRONTIER_SCHEMA, _frontier_rows, build_next_frontier
+
+    frontier = _frontier_rows(
+        spark.read.parquet(pages_parquet).select("url"), wave=0
+    )
+    seen_delta = frontier.limit(10).select(
+        "url_hash", "url_canon", F.lit(0).alias("wave")
+    )
+    disc_new = _frontier_rows(
+        spark.read.parquet(pages_parquet).select("url").limit(5), wave=1
+    )
+    out = build_next_frontier(frontier, seen_delta, disc_new,
+                              broadcast_delta=True)
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in FRONTIER_SCHEMA.fields
+    ]
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # one shuffle for the merge aggregation; the anti-join adds none
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan
+
+
 def test_minhash_signature_stays_jvm(spark, pages_parquet):
     from swspark.dedup import minhash_signature
 
