@@ -684,7 +684,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    indexed, cents = ivf_index(emb, n_lists=16)
+    indexed, cents = ivf_index(emb, n_lists=16, iters=2)
     approx = ivf_topk(indexed, cents, q, k=10, nprobe=12).select("vec_id")
     exact = brute_force_topk(emb, q, k=10).select("vec_id")
     hits = approx.join(exact, "vec_id", "left_semi")

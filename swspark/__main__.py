@@ -93,6 +93,7 @@ def cmd_crawl(args) -> int:
         throttle=throttle,
         max_waves=layered("max_waves", 100),
         max_urls_per_wave=layered("max_urls_per_wave", None),
+        recrawl_after_waves=layered("recrawl_after_waves", None),
         on_dl_error=layered("on_dl_error", "skip"),
         on_xml_error=layered("on_xml_error", "skip"),
         on_scrap_error=layered("on_scrap_error", "skip"),
@@ -164,6 +165,9 @@ def main(argv=None) -> int:
     c.add_argument("--wave-period", type=float, default=None)
     c.add_argument("--max-waves", type=int, default=None)
     c.add_argument("--max-urls-per-wave", type=int, default=None)
+    c.add_argument("--recrawl-after-waves", type=int, default=None,
+                   help="refetch URLs N waves after their last fetch "
+                        "(default: fetch-once, like the reference)")
     c.add_argument("--throttle", default=None,
                    help="concurrent:N | per-second:N | delay:S")
     c.add_argument("--on-dl-error", choices=["skip", "fail"], default=None)

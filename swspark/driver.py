@@ -92,6 +92,12 @@ class CrawlConfig:
     # ~16 MB of (hash, canon) — cheap vs shuffling a 10^10 frontier);
     # larger waves fall back to a shuffle join automatically
     delta_broadcast_max: int = 4_000_000
+    # recrawl aging: a URL fetched in wave w becomes schedulable again
+    # in wave w + recrawl_after_waves (None = fetch-once, the
+    # reference's semantics). Resurrected rows carry a synthetic
+    # last_fetch_ts = fetch_wave * wave_period so never-fetched URLs
+    # (NULLS FIRST) and older fetches schedule ahead of fresher ones.
+    recrawl_after_waves: int | None = None
 
 
 class CrawlState:
@@ -249,6 +255,25 @@ def crawl(
     totals = {"waves": 0, "fetched": 0, "records": 0, "discovered": 0, "errors": 0}
 
     while wave < config.max_waves:
+        ttl = config.recrawl_after_waves
+        if ttl is not None and wave >= ttl:
+            # resurrection: rows fetched exactly ttl waves ago age out
+            # of the seen set's "fresh" window and rejoin the frontier
+            # (each seen row expires exactly once; a refetch appends a
+            # new seen row, so the cycle repeats every ttl waves).
+            # frontier ∩ resurrected = ∅: a pending URL has no fresh
+            # seen row, so it cannot be expiring now.
+            expired = seen_df.where(F.col("wave") == wave - ttl)
+            resurrected = _frontier_rows(
+                expired.select(F.col("url_canon").alias("url")), wave
+            ).withColumn(
+                "last_fetch_ts",
+                F.timestamp_seconds(
+                    F.lit(float((wave - ttl) * config.wave_period))
+                ),
+            ).select([f.name for f in FRONTIER_SCHEMA.fields])
+            frontier = frontier.unionByName(resurrected)
+
         scheduled = schedule_wave(
             frontier,
             rules_table.select(F.col("host"), "crawl_delay"),
@@ -263,7 +288,17 @@ def crawl(
         ).cache()
         n_sched = scheduled.count()
         if n_sched == 0:
-            break  # quiescence (A28)
+            scheduled.unpersist()
+            if ttl is None:
+                break  # quiescence (A28)
+            last = (
+                seen_df.agg(F.max("wave")).first()[0]
+                if state.seen.exists() else None
+            )
+            if last is None or wave >= last + ttl:
+                break  # nothing pending and nothing left to expire
+            wave += 1  # idle wave: wall-clock passes until next expiry
+            continue
 
         fetched, dl_errs, obs = fetch_pages(
             scheduled, pages, on_dl_error=config.on_dl_error

@@ -264,26 +264,8 @@ def embedding_neardup_pairs(
 # --- IVF ----------------------------------------------------------------
 
 
-def ivf_index(
-    vectors: DataFrame,
-    n_lists: int = 16,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, np.ndarray]:
-    """Coarse quantizer: centroids = deterministic seeded sample of
-    the data (k-means init without iterations — adequate as a coarse
-    partitioner; swap in k-means|| offline at scale). Assignment is a
-    vectorized pandas UDF (numpy matmul per Arrow batch)."""
-    sample = (
-        vectors.select(vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)), F.col(id_col))
-        .limit(n_lists)
-        .collect()
-    )
-    centroids = np.array([list(r[0]) for r in sample], dtype=float)
-    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12
-    bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+def _make_assign_udf(spark, centroids: np.ndarray):
+    bc = spark.sparkContext.broadcast(centroids)
 
     @F.pandas_udf("int")
     def assign(emb: pd.Series) -> pd.Series:
@@ -292,6 +274,55 @@ def ivf_index(
         m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
         return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
 
+    return assign
+
+
+def ivf_index(
+    vectors: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Coarse quantizer: deterministic seeded sample init, then
+    ``iters`` distributed Lloyd iterations — assignment is a
+    vectorized pandas UDF (numpy matmul per Arrow batch); the centroid
+    update is a posexplode + groupBy(list, dim) mean, so only
+    n_lists x dim aggregated values ever reach the driver. Empty
+    clusters keep their previous centroid (deterministic)."""
+    spark = vectors.sparkSession
+    sample = (
+        vectors.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in sample], dtype=float)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12
+
+    for _ in range(iters):
+        assign = _make_assign_udf(spark, centroids)
+        norm = l2norm(F.col(vec_col).cast("array<double>"))
+        unit = F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: x / norm
+        )
+        assigned = vectors.select(
+            assign(F.col(vec_col)).alias("list_id"), unit.alias("v")
+        )
+        # spherical k-means update: mean of unit vectors, renormalized
+        means = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in means:
+            new_c[r.list_id, r.pos] = r.m  # empty lists keep old centroid
+        centroids = new_c / (np.linalg.norm(new_c, axis=1, keepdims=True) + 1e-12)
+
+    assign = _make_assign_udf(spark, centroids)
     return vectors.withColumn("list_id", assign(F.col(vec_col))), centroids
 
 

@@ -244,6 +244,32 @@ def test_resume_mid_wave_crash_reconciles(spark, corpus, tables, tmp_path):
         pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
 
 
+def test_recrawl_aging(spark, corpus, tables, tmp_path):
+    """recrawl_after_waves=2: a URL fetched in wave w is fetched again
+    in wave w+2, indefinitely (here bounded by max_waves=5 -> waves
+    0, 2, 4); idle waves in between schedule nothing."""
+    seeds = spark.createDataFrame(
+        [("https://news0.example.test/articles/000001", "PAGES", "x"),
+         ("https://news0.example.test/articles/000002", "PAGES", "x")],
+        "seed string, seed_kind string, scenario string",
+    )
+    cfg = CrawlConfig(spec="fulltext", wave_period=WAVE_PERIOD,
+                      recrawl_after_waves=2, max_waves=5)
+    totals = crawl(
+        spark, cfg, str(tmp_path / "w5"), seeds, tables["sitemaps"],
+        tables["robots"], tables["pages"],
+    )
+    state = CrawlState(str(tmp_path / "w5"))
+    trace = state.trace.read(spark).toPandas()
+    assert sorted(trace.wave.unique().tolist()) == [0, 2, 4]
+    per_url = trace.groupby("url").wave.apply(lambda s: sorted(s.tolist()))
+    assert all(v == [0, 2, 4] for v in per_url), per_url.to_dict()
+    assert totals["waves"] == 3  # idle waves are not fetch waves
+    # never-refetched-too-early law: consecutive fetches >= ttl apart
+    assert (trace.sort_values(["url", "wave"])
+            .groupby("url").wave.diff().dropna() >= 2).all()
+
+
 def test_robots_disallow_enforced(spark, corpus, tables, tmp_path):
     """A frontier URL under a Disallow prefix must never be scheduled."""
     seeds = spark.createDataFrame(

@@ -252,6 +252,25 @@ def test_ivf_topk(spark, vectors):
     assert 3 in ids
 
 
+def test_ivf_kmeans_iterations_improve_quantization(spark, vectors):
+    """Distributed Lloyd iterations must not degrade (and should
+    improve) the mean cosine of each vector to its assigned centroid
+    (spherical k-means objective)."""
+    df, m = vectors
+
+    def quality(iters):
+        indexed, cents = simsearch.ivf_index(df, n_lists=8, iters=iters)
+        rows = indexed.select("list_id", "embedding").collect()
+        md = np.array([r.embedding for r in rows], dtype=float)
+        md /= np.linalg.norm(md, axis=1, keepdims=True) + 1e-12
+        lists = np.array([r.list_id for r in rows])
+        return float(np.mean(np.sum(md * cents[lists], axis=1)))
+
+    q0, q2 = quality(0), quality(2)
+    assert q2 >= q0 - 1e-9
+    assert q2 > q0  # on random data the improvement is strict
+
+
 # --- multimodal ------------------------------------------------------------
 
 
