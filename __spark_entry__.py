@@ -324,7 +324,8 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming<=3 pairs with pigeonhole band blocking
-    (approximate; rows-only)."""
+    (approximate; rows-only — the xxhash64 sketch has no DuckDB
+    twin; q_simhash_planted carries the oracle-checkable contract)."""
     from swspark.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select(
@@ -334,6 +335,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return simhash_pairs(docs.unionByName(copies), max_hamming=3)
+
+
+def q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall contract: all 20 planted exact-duplicate pairs
+    (doc_id, doc_id+1e6) must be recovered at Hamming distance 0 —
+    identical normalized text gives identical sketches, and the
+    pigeonhole banding guarantees any pair within the distance bound
+    shares a block. The oracle is the contract itself."""
+    pairs = q_simhash_pairs(spark, sf_dir)
+    planted = pairs.where(
+        (F.col("doc_b") - F.col("doc_a") == 1000000) & (F.col("doc_a") < 20)
+    )
+    return planted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted_found"),
+        F.max("hamming").cast("long").alias("max_planted_hamming"),
+    )
+
+
+SQL_SIMHASH_PLANTED = (
+    "SELECT CAST(20 AS BIGINT) AS n_planted_found, "
+    "CAST(0 AS BIGINT) AS max_planted_hamming"
+)
 
 
 # --------------------------------------------------------------------
@@ -708,8 +731,14 @@ _FIXTURE_CACHE: dict = {}
 def q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One end-to-end crawl over the deterministic fixture corpus:
     sitemap expansion -> politeness schedule -> fetch -> extract.
-    Returns the crawl-order trace (wave, host, url, rank) — the golden
-    semantics are pytest-pinned; here the driver sees it run."""
+    Returns the crawl-order trace (wave, host, url, rank).
+
+    Oracle-checked: the engine's scheduling law is closed-form for a
+    single-host frontier with equal priorities — URLs sort ascending
+    and fill budget-sized waves — so the multi-wave trace equals a
+    ROW_NUMBER chunking over the committed accepted-URL fixture
+    (data/fixture_dict_urls.parquet, generated independently from the
+    corpus goldens + politeness budget floor(10/crawl_delay)=20)."""
     import tempfile
 
     from swspark.driver import CrawlConfig, CrawlState, crawl
@@ -732,7 +761,29 @@ def q_crawl_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
             kind == "URLSET", url.contains("term=")
         ).otherwise(F.lit(True)),
     )
-    return CrawlState(wh).trace.read(spark)
+    return CrawlState(wh).trace.read(spark).select(
+        F.col("wave").cast("long").alias("wave"),
+        "host",
+        "url",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_FIXTURE_DICT_URLS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data",
+    "fixture_dict_urls.parquet",
+)
+
+SQL_CRAWL_WAVE = f"""
+SELECT CAST((rn - 1) // budget AS BIGINT) AS wave,
+       host, url,
+       CAST((rn - 1) % budget + 1 AS BIGINT) AS rank
+FROM (
+  SELECT url, host, budget,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rn
+  FROM read_parquet('{_FIXTURE_DICT_URLS}')
+)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -751,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_planted": q_simhash_planted,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -789,7 +841,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_identity": SQL_EXTRACT_IDENTITY,
         "media_decode": SQL_MEDIA_DECODE,
         "media_plan": SQL_MEDIA_PLAN,
-        # simhash_pairs / crawl_wave: non-SQL-expressible (xxhash64
-        # sketching resp. stateful multi-wave loop) -> rows-only check
-        # by contract; exactness pinned in pytest golden tests
+        "crawl_wave": SQL_CRAWL_WAVE,
+        "simhash_planted": SQL_SIMHASH_PLANTED,
+        # simhash_pairs is the single rows-only entry left: its
+        # xxhash64 sketch is not SQL-expressible in DuckDB; exactness
+        # is pinned by pytest (identity + planted-pair recall laws)
     }
