@@ -94,6 +94,7 @@ def cmd_crawl(args) -> int:
         max_waves=layered("max_waves", 100),
         max_urls_per_wave=layered("max_urls_per_wave", None),
         recrawl_after_waves=layered("recrawl_after_waves", None),
+        error_backoff_window=layered("error_backoff_window", None),
         on_dl_error=layered("on_dl_error", "skip"),
         on_xml_error=layered("on_xml_error", "skip"),
         on_scrap_error=layered("on_scrap_error", "skip"),
@@ -168,6 +169,9 @@ def main(argv=None) -> int:
     c.add_argument("--recrawl-after-waves", type=int, default=None,
                    help="refetch URLs N waves after their last fetch "
                         "(default: fetch-once, like the reference)")
+    c.add_argument("--error-backoff-window", type=int, default=None,
+                   help="halve a host's budget per error-wave in the "
+                        "last N waves (default: off)")
     c.add_argument("--throttle", default=None,
                    help="concurrent:N | per-second:N | delay:S")
     c.add_argument("--on-dl-error", choices=["skip", "fail"], default=None)

@@ -98,6 +98,10 @@ class CrawlConfig:
     # last_fetch_ts = fetch_wave * wave_period so never-fetched URLs
     # (NULLS FIRST) and older fetches schedule ahead of fresher ones.
     recrawl_after_waves: int | None = None
+    # adaptive error backoff: a host with download errors in any of
+    # the last N waves gets its budget halved per error-wave (capped
+    # at /16, floored at 1). None = off.
+    error_backoff_window: int | None = None
 
 
 class CrawlState:
@@ -274,9 +278,27 @@ def crawl(
             ).select([f.name for f in FRONTIER_SCHEMA.fields])
             frontier = frontier.unionByName(resurrected)
 
+        budgets_dim = rules_table.select(F.col("host"), "crawl_delay")
+        if config.error_backoff_window is not None and state.errors.exists():
+            # hosts that erred recently yield budget (AIMD-style):
+            # k = #error-waves in the window, budget -> budget / 2^k
+            w0 = wave - config.error_backoff_window
+            err_hosts = (
+                state.errors.read(spark)
+                .where(
+                    (F.col("stage") == "download")
+                    & (F.col("wave") >= w0) & (F.col("wave") < wave)
+                )
+                .select(urlnorm.url_host(F.col("url")).alias("host"), "wave")
+                .distinct()
+                .groupBy("host")
+                .agg(F.least(F.count(F.lit(1)), F.lit(4)).cast("int").alias("backoff_k"))
+            )
+            # full outer: hosts with errors but no robots entry still back off
+            budgets_dim = budgets_dim.join(err_hosts, "host", "full")
         scheduled = schedule_wave(
             frontier,
-            rules_table.select(F.col("host"), "crawl_delay"),
+            budgets_dim,
             config.wave_period,
             config.throttle,
             config.max_urls_per_wave,

@@ -103,8 +103,11 @@ def schedule_wave(
     budget, optionally cap the global wave size (the page_buffer /
     memory bound analogue, config.rs:53-55).
 
-    host_budgets: (host, crawl_delay) — per-host; joined broadcast
-    (host cardinality << frontier cardinality at any scale).
+    host_budgets: (host, crawl_delay[, backoff_k]) — per-host; joined
+    broadcast (host cardinality << frontier cardinality at any scale).
+    An optional ``backoff_k`` column halves the host's budget k times
+    (floored at 1) — the driver's adaptive error backoff: hosts that
+    erred in recent waves get exponentially less of each wave.
     frontier must have (url, host, priority, last_fetch_ts).
 
     Skew: a naive per-host window makes a hot domain's rank a single
@@ -123,11 +126,22 @@ def schedule_wave(
     identical to the single-window plan.
     """
     budget = politeness_budget(F.col("crawl_delay"), wave_period, throttle)
+    has_backoff = "backoff_k" in host_budgets.columns
+    dim_cols = [host_col, "crawl_delay"] + (["backoff_k"] if has_backoff else [])
     base = frontier.join(
-        F.broadcast(host_budgets.select(host_col, "crawl_delay")),
+        F.broadcast(host_budgets.select(*dim_cols)),
         host_col,
         "left",
     ).withColumn("_budget", budget)
+    if has_backoff:
+        # halve k times; expr because shiftright needs a literal count
+        base = base.withColumn(
+            "_budget",
+            F.expr(
+                "CAST(GREATEST(1, _budget DIV CAST(POW(2, "
+                "COALESCE(backoff_k, 0)) AS INT)) AS INT)"
+            ),
+        ).drop("backoff_k")
 
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(pre_salt))
     w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*_order_cols())

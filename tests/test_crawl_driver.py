@@ -270,6 +270,42 @@ def test_recrawl_aging(spark, corpus, tables, tmp_path):
             .groupby("url").wave.diff().dropna() >= 2).all()
 
 
+def test_error_backoff_halves_budget(spark, corpus, tables, tmp_path):
+    """A host with download errors in the backoff window gets half the
+    budget next wave: 4 missing URLs (sort first) fill wave 0 with
+    errors -> wave 1 runs at budget 2 -> wave 2 (no errors in the
+    1-wave window) back to 4."""
+    from swspark.scheduler import Throttle
+
+    host = "news0.example.test"
+    # ',' < '0' so the missing URLs sort (and schedule) first
+    missing = [f"https://{host}/articles/,{i}" for i in range(4)]
+    existing = sorted(
+        r.url for r in tables["pages"].select("url").collect()
+        if host in r.url and "/articles/" in r.url
+    )[:6]
+    assert len(existing) == 6
+    seeds = spark.createDataFrame(
+        [(u, "PAGES", "x") for u in missing + existing],
+        "seed string, seed_kind string, scenario string",
+    )
+    cfg = CrawlConfig(
+        spec="fulltext", wave_period=WAVE_PERIOD,
+        throttle=Throttle("PER_SECOND", 0.4),  # explicit budget 4/wave
+        error_backoff_window=1,
+    )
+    crawl(
+        spark, cfg, str(tmp_path / "w6"), seeds, tables["sitemaps"],
+        tables["robots"], tables["pages"],
+    )
+    state = CrawlState(str(tmp_path / "w6"))
+    trace = state.trace.read(spark).toPandas()
+    sizes = trace.groupby("wave").size().to_dict()
+    assert sizes == {0: 4, 1: 2, 2: 4}, sizes
+    errs = state.errors.read(spark).toPandas()
+    assert sorted(errs[errs.stage == "download"].url) == sorted(missing)
+
+
 def test_robots_disallow_enforced(spark, corpus, tables, tmp_path):
     """A frontier URL under a Disallow prefix must never be scheduled."""
     seeds = spark.createDataFrame(
