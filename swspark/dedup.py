@@ -23,6 +23,8 @@ functions — no Python in the hot path. Pair outputs are canonical
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -220,6 +222,40 @@ def simhash64(text: Column, n: int = 5) -> Column:
     return out
 
 
+def make_simhash_udf():
+    """Vectorized SimHash bit-vote: array<bigint> shingle hashes (from
+    JVM xxhash64, so sketches stay engine-stable) -> 64-bit simhash.
+    Output-identical to :func:`simhash64` (pytest-pinned) but one
+    Arrow batch op instead of 64 codegen'd aggregate passes — the
+    64-aggregate plan costs seconds of compile/codegen alone and
+    bloats whole-stage codegen at scale."""
+
+    @F.pandas_udf("long")
+    def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+        j = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            a = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = (a[:, None] >> j) & one  # (n_shingles, 64)
+            votes = 2 * bits.sum(axis=0).astype(np.int64) - len(a)
+            word = ((one << j)[votes > 0]).sum(dtype=np.uint64)
+            out[i] = word.astype(np.int64)
+        return pd.Series(out)
+
+    return simhash_from_hashes
+
+
+def simhash64_fast(text: Column, n: int = 5) -> Column:
+    """SimHash via JVM shingle hashing + numpy bit-vote (identical
+    values to simhash64; see make_simhash_udf)."""
+    sh = char_shingles(text, n)
+    hashes = F.transform(sh, lambda g: F.xxhash64(g))
+    return make_simhash_udf()(hashes)
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -235,9 +271,9 @@ def simhash_pairs(
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sims = docs.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
-    ).persist()  # 64 aggregate-HOF passes per row: compute once; the
-    # cache is released by ContextCleaner when the plan is GC'd
+        F.col(id_col).alias("id"), simhash64_fast(F.col(text_col)).alias("sim")
+    ).persist()  # compute the sketch once for both self-join sides;
+    # the cache is released by ContextCleaner when the plan is GC'd
     mask = (1 << width) - 1
     band_keys = F.array(
         *[

@@ -206,6 +206,18 @@ def vectors(spark):
     )
 
 
+def test_simhash_fast_equals_jvm(spark, docs):
+    """The numpy bit-vote sketch must be bit-identical to the pure-JVM
+    64-aggregate formulation (same xxhash64 shingle hashes feed both)."""
+    from swspark.dedup import simhash64, simhash64_fast
+
+    both = docs.select(
+        simhash64(F.col("text")).alias("jvm"),
+        simhash64_fast(F.col("text")).alias("fast"),
+    )
+    assert both.where(F.col("jvm") != F.col("fast")).count() == 0
+
+
 def test_brute_force_topk_matches_numpy(spark, vectors):
     df, m = vectors
     q = m[3].astype(float)
