@@ -318,6 +318,36 @@ class _TreeBuilder(HTMLParser):
         self.errors.append(message)
 
 
+class _TextStream(HTMLParser):
+    """Tree-free fulltext extractor. Document-root inner_text is the
+    pre-order concat of TEXT nodes (element_ref/mod.rs:87-99), and the
+    tree builder appends text nodes in handle_data event order — so
+    joining the data events directly is byte-identical to
+    parse_document(...).root.inner_text() while skipping every Node
+    allocation (the fulltext hot path at corpus scale; equality is
+    pinned by the extract_identity oracle and the golden tests)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.parts.append(data)
+
+
+def stream_fulltext(html: str | bytes) -> str:
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    ts = _TextStream()
+    try:
+        ts.feed(html)
+        ts.close()
+    except Exception:  # parse problems are never fatal (html/mod.rs:19-22)
+        pass
+    return "".join(ts.parts)
+
+
 class Html:
     """Parsed document (reference: Html struct, html/mod.rs:24-34).
 

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 
 from swspark.extract.dom import Html
 from swspark.extract.specs import SPECS, ExtractionSpec
+from swspark.extract.specs import _fulltext_scrap as _FULLTEXT_SCRAP
 
 EXTRACT_RESULT_TYPE = StructType(
     [
@@ -125,6 +126,29 @@ def make_extract_udf(spec: ExtractionSpec | str):
         def extract(url: pd.Series, html: pd.Series,
                     rules: pd.Series) -> pd.DataFrame:
             return _run_batch(url, html, rules)
+
+    elif spec.name == "fulltext" and spec.scrap_page is _FULLTEXT_SCRAP:
+        # fast path: whole-document inner_text needs no DOM at all —
+        # stream the tokenizer events (byte-identical, see
+        # dom.stream_fulltext; ~2x fewer allocations per page)
+        from swspark.extract.dom import stream_fulltext
+
+        @F.pandas_udf(EXTRACT_RESULT_TYPE)
+        def extract(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+            records_out, urls_out, errors_out = [], [], []
+            for h in html:
+                if h is None:
+                    records_out.append(None)
+                    urls_out.append(None)
+                    errors_out.append("ValueError: null html")
+                    continue
+                records_out.append([[stream_fulltext(h)]])
+                urls_out.append([])
+                errors_out.append(None)
+            return pd.DataFrame(
+                {"records": records_out, "urls": urls_out,
+                 "error": errors_out}
+            )
 
     else:
 
