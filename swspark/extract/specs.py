@@ -79,13 +79,11 @@ def _expand_fmt(fmt: str) -> str:
     return "".join(out)
 
 
-def parse_date(s: str, fmt: str) -> tuple[int, int, int]:
-    """chrono-NaiveDate-compatible strptime (interop.rs:204-222):
-    %Y %y %m %d %e %B %b %h %j %a %A %H %M %S %D %F %v %T %R %%.
-    Locale-independent by construction; like NaiveDate, time-of-day
-    fields parse but don't affect the result, %y maps 00-68 -> 20xx /
-    69-99 -> 19xx, and %j resolves an ordinal date when month/day are
-    absent (validated for consistency when both are present)."""
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _compile_date_fmt(fmt: str) -> tuple[re.Pattern, tuple[str, ...]]:
     fmt = _expand_fmt(fmt)
     pat_parts: list[str] = []
     groups: list[str] = []  # spec letter per capture group, in order
@@ -107,7 +105,20 @@ def parse_date(s: str, fmt: str) -> tuple[int, int, int]:
         else:
             pat_parts.append(re.escape(c))
             i += 1
-    m = re.fullmatch("".join(pat_parts), s.strip())
+    return re.compile("".join(pat_parts)), tuple(groups)
+
+
+def parse_date(s: str, fmt: str) -> tuple[int, int, int]:
+    """chrono-NaiveDate-compatible strptime (interop.rs:204-222):
+    %Y %y %m %d %e %B %b %h %j %a %A %H %M %S %D %F %v %T %R %%.
+    Locale-independent by construction; like NaiveDate, time-of-day
+    fields parse but don't affect the result, %y maps 00-68 -> 20xx /
+    69-99 -> 19xx, and %j resolves an ordinal date when month/day are
+    absent (validated for consistency when both are present).
+    Compiled formats are LRU-cached (the scrape hot path reuses one
+    format per spec)."""
+    rx, groups = _compile_date_fmt(fmt)
+    m = rx.fullmatch(s.strip())
     if not m:
         raise ValueError(f"date {s!r} does not match format {fmt!r}")
 
