@@ -115,6 +115,52 @@ def test_unsupported_pseudo_classes_rejected():
 
 # --- inner_text / inner_html semantics ------------------------------------
 
+def test_stream_fulltext_equals_dom_inner_text():
+    """The tree-free fulltext path must be byte-identical to the DOM
+    path on adversarial inputs (rawtext, entities, broken nesting,
+    stray end tags, PIs, CDATA-ish, unicode, empty)."""
+    from swspark.extract.dom import stream_fulltext
+
+    cases = [
+        b"<script>var a = '<b>x</b>';</script>after",
+        b"&amp;&lt;&nbsp;mixed &unknown; refs",
+        b"<p>unclosed <div>nested</p>text",
+        b"plain text only",
+        b"<style>p{color:red}</style><!-- comment -->tail",
+        b"<?pi data?>x<![CDATA[y]]>z",
+        b"<td>b</td></table>stray end",
+        "unicode é中文 café".encode(),
+        b"<br/><img src=x>t<textarea><b>raw</b></textarea>",
+        b"",
+        b"<title>t</title><pre>  spaced\n\n</pre>",
+    ]
+    for h in cases:
+        assert stream_fulltext(h) == Html.parse_document(h).root.inner_text(), h
+
+
+def test_stream_fulltext_property():
+    """Property: equality holds for arbitrary text (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from swspark.extract.dom import stream_fulltext
+
+    tagish = st.sampled_from(
+        ["<div>", "</div>", "<script>", "</script>", "<b ", ">", "<",
+         "&amp;", "&", "<!--", "-->", "<br/>", "text ", "\n", "<p id='x'>"]
+    )
+    docs = st.lists(st.one_of(tagish, st.text(max_size=8)), max_size=30).map(
+        "".join
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(docs)
+    def check(html):
+        assert stream_fulltext(html) == Html.parse_document(html).root.inner_text()
+
+    check()
+
+
 def test_inner_text_preorder_concat_no_normalization():
     # element_ref/mod.rs:87-99: pre-order concat, no separator,
     # no whitespace normalization
