@@ -619,6 +619,29 @@ SQL_EXTRACT_IDENTITY = (
 )
 
 
+_FIXTURE_WARC = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data",
+    "fixture_pages.warc.gz",
+)
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped ingestion end-to-end: a committed WARC/1.0
+    gzip file -> distributed binaryFile scan + mapInPandas record
+    exploder (swspark.warc.read_warc) -> fulltext extraction. The
+    oracle is the same independent golden text, so this proves the
+    WARC parse AND the extraction are byte-exact through one plan."""
+    from swspark.extract.udf import apply_extraction
+    from swspark.warc import read_warc
+
+    pages = read_warc(spark, _FIXTURE_WARC).select("url", "html")
+    rec, _urls, _errs = apply_extraction(pages, "fulltext")
+    return rec.select("url", "text")
+
+
+SQL_WARC_EXTRACT = SQL_EXTRACT_IDENTITY
+
+
 # --------------------------------------------------------------------
 # multimodal columns (committed fixture parquet with independent goldens)
 # --------------------------------------------------------------------
@@ -813,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "extract_identity": q_extract_identity,
+        "warc_extract": q_warc_extract,
         "media_decode": q_media_decode,
         "media_plan": q_media_plan,
         "crawl_wave": q_crawl_wave,
@@ -839,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": SQL_LSH_TOPK,
         "ivf_topk": SQL_IVF_TOPK,
         "extract_identity": SQL_EXTRACT_IDENTITY,
+        "warc_extract": SQL_WARC_EXTRACT,
         "media_decode": SQL_MEDIA_DECODE,
         "media_plan": SQL_MEDIA_PLAN,
         "crawl_wave": SQL_CRAWL_WAVE,
