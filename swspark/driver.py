@@ -229,7 +229,9 @@ def crawl(
         seen_df = (
             state.seen.read(spark)
             if state.seen.exists()
-            else spark.createDataFrame([], "url_hash long, url_canon string, wave int")
+            else spark.createDataFrame(
+                [], "url_hash long, url_canon string, url string, wave int"
+            )
         )
         blooms = _rebuild_blooms(spark, state, seen_df, config)
     else:
@@ -242,7 +244,9 @@ def crawl(
             frontier, mode="overwrite", lineage={"next_wave": 0, "phase": "seeded"}
         )
         frontier = state.frontier.read(spark)
-        seen_df = spark.createDataFrame([], "url_hash long, url_canon string, wave int")
+        seen_df = spark.createDataFrame(
+            [], "url_hash long, url_canon string, url string, wave int"
+        )
         blooms: dict[int, BloomFilter] = {}
         if xml_errors is not None:
             state.errors.commit(
@@ -268,9 +272,11 @@ def crawl(
             # frontier ∩ resurrected = ∅: a pending URL has no fresh
             # seen row, so it cannot be expiring now.
             expired = seen_df.where(F.col("wave") == wave - ttl)
-            resurrected = _frontier_rows(
-                expired.select(F.col("url_canon").alias("url")), wave
-            ).withColumn(
+            # resurrect the RAW url (seen carries it for exactly this):
+            # fetch_pages joins the pages source on the exact string, so
+            # a canonical-form resurrection would silently miss any URL
+            # whose raw form differs (uppercase host, :80, fragment)
+            resurrected = _frontier_rows(expired.select("url"), wave).withColumn(
                 "last_fetch_ts",
                 F.timestamp_seconds(
                     F.lit(float((wave - ttl) * config.wave_period))
@@ -361,7 +367,7 @@ def crawl(
         # --- update seen (attempted URLs count as seen; 404s are not
         # retried forever, matching "scheduled+fetched" accounting) ----
         seen_delta = scheduled.select(
-            "url_hash", "url_canon", F.lit(wave).alias("wave")
+            "url_hash", "url_canon", "url", F.lit(wave).alias("wave")
         )
         state.seen.commit(seen_delta, mode="append", lineage={"wave": wave})
         seen_df = state.seen.read(spark)

@@ -42,12 +42,14 @@ _WEEKDAY_NAMES = [
     "Saturday", "Sunday",
 ]
 
-# chrono-NaiveDate strftime subset (interop.rs:204-222 delegates the
-# full chrono vocabulary; this covers the date-bearing specifiers plus
-# parse-and-ignore time fields, as NaiveDate::parse_from_str does)
+# chrono-NaiveDate strftime vocabulary (interop.rs:204-222 delegates
+# the full chrono surface): date-bearing specifiers, week/ISO-week
+# fields, plus parse-and-ignore time fields, as
+# NaiveDate::parse_from_str does
 _PARSE_TOKENS: dict[str, str] = {
     "Y": r"(-?\d{4})",
     "y": r"(\d{2})",
+    "C": r"(\d{1,2})",  # century: year = 100*%C + %y
     "m": r"(\d{1,2})",
     "d": r"(\d{1,2})",
     "e": r"\s?(\d{1,2})",
@@ -57,6 +59,14 @@ _PARSE_TOKENS: dict[str, str] = {
     "j": r"(\d{1,3})",
     "a": r"([A-Za-z]+)",
     "A": r"([A-Za-z]+)",
+    # week-of-year + weekday numbers (resolvable date representations)
+    "U": r"(\d{1,2})",  # Sunday-based week 00-53
+    "W": r"(\d{1,2})",  # Monday-based week 00-53
+    "u": r"(\d)",       # ISO weekday 1=Mon..7=Sun
+    "w": r"(\d)",       # weekday 0=Sun..6=Sat
+    "V": r"(\d{1,2})",  # ISO week 01-53
+    "G": r"(-?\d{4})",  # ISO week-year
+    "g": r"(\d{2})",    # ISO week-year mod 100
     # time-of-day: parsed then discarded (NaiveDate semantics)
     "H": r"(\d{1,2})",
     "M": r"(\d{1,2})",
@@ -64,7 +74,22 @@ _PARSE_TOKENS: dict[str, str] = {
 }
 # compound specifiers expand before tokenization, like chrono
 _COMPOUND = {"D": "%m/%d/%y", "F": "%Y-%m-%d", "v": "%e-%b-%Y",
-             "T": "%H:%M:%S", "R": "%H:%M"}
+             "T": "%H:%M:%S", "R": "%H:%M", "x": "%m/%d/%y"}
+# padding-override flags (chrono: %-d no pad, %0e zero pad, %_m space
+# pad); parsing is width-flexible either way, formatting honors them
+_PAD_FLAGS = {"-": None, "0": "0", "_": " "}
+
+
+def _split_spec(fmt: str, i: int) -> tuple[str | None, str, int]:
+    """At fmt[i]=='%', return (pad_flag, spec_letter, next_index)."""
+    j = i + 1
+    flag = None
+    if j < len(fmt) and fmt[j] in _PAD_FLAGS:
+        flag = fmt[j]
+        j += 1
+    if j >= len(fmt):
+        raise ValueError(f"dangling %% in format {fmt!r}")
+    return flag, fmt[j], j + 1
 
 
 def _expand_fmt(fmt: str) -> str:
@@ -91,32 +116,79 @@ def _compile_date_fmt(fmt: str) -> tuple[re.Pattern, tuple[str, ...]]:
     while i < len(fmt):
         c = fmt[i]
         if c == "%":
-            if i + 1 >= len(fmt):
-                raise ValueError(f"dangling %% in format {fmt!r}")
-            spec = fmt[i + 1]
-            if spec == "%":
+            flag, spec, nxt = _split_spec(fmt, i)
+            if spec == "%" and flag is None:
                 pat_parts.append(re.escape("%"))
             elif spec in _PARSE_TOKENS:
                 pat_parts.append(_PARSE_TOKENS[spec])
                 groups.append(spec)
             else:
                 raise ValueError(f"unsupported date specifier %{spec}")
-            i += 2
+            i = nxt
         else:
             pat_parts.append(re.escape(c))
             i += 1
     return re.compile("".join(pat_parts)), tuple(groups)
 
 
+def _month_from_name(v: str) -> int:
+    """chrono accepts the exact full name or the exact 3-letter
+    abbreviation for ALL of %B/%b/%h when parsing (no 'Sept')."""
+    t = v.title()
+    if t in _MONTHS:
+        return _MONTHS[t]
+    if len(t) == 3 and t in _MONTHS_ABBR:
+        return _MONTHS_ABBR[t]
+    raise ValueError(f"unknown month name {v!r}")
+
+
+def _weekday_from_name(v: str) -> int:
+    """Monday=0..Sunday=6; %a and %A both accept full or abbreviated
+    names when parsing, like chrono."""
+    t = v.title()
+    if t in _WEEKDAY_NAMES:
+        return _WEEKDAY_NAMES.index(t)
+    abbr = [w[:3] for w in _WEEKDAY_NAMES]
+    if len(t) == 3 and t in abbr:
+        return abbr.index(t)
+    raise ValueError(f"unknown weekday {v!r}")
+
+
+def _week_based_date(year: int, week: int, weekday_mon0: int, sunday_first: bool):
+    """Resolve (%Y, %U-or-%W, weekday) the way strptime does: week 0 =
+    days before the year's first Sunday (resp. Monday)."""
+    import datetime as _dt
+
+    jan1 = _dt.date(year, 1, 1)
+    if sunday_first:
+        wd = (weekday_mon0 + 1) % 7          # Sunday=0..Saturday=6
+        jan1_wd = (jan1.weekday() + 1) % 7
+    else:
+        wd = weekday_mon0                     # Monday=0..Sunday=6
+        jan1_wd = jan1.weekday()
+    # first day in the year with the target weekday; anchor the week
+    # arithmetic on ITS strftime week number (0 or 1)
+    first = jan1 + _dt.timedelta(days=(wd - jan1_wd) % 7)
+    fmt = "%U" if sunday_first else "%W"
+    w_first = int(first.strftime(fmt))
+    d = first + _dt.timedelta(weeks=week - w_first)
+    if d.year != year or int(d.strftime(fmt)) != week:
+        raise ValueError(f"week {week} out of range for {year}")
+    return d
+
+
 def parse_date(s: str, fmt: str) -> tuple[int, int, int]:
     """chrono-NaiveDate-compatible strptime (interop.rs:204-222):
-    %Y %y %m %d %e %B %b %h %j %a %A %H %M %S %D %F %v %T %R %%.
+    %Y %y %C %m %d %e %B %b %h %j %a %A %u %w %U %W %V %G %g
+    %H %M %S %D %F %v %T %R %x %% and the %-/%0/%_ padding flags.
     Locale-independent by construction; like NaiveDate, time-of-day
     fields parse but don't affect the result, %y maps 00-68 -> 20xx /
-    69-99 -> 19xx, and %j resolves an ordinal date when month/day are
-    absent (validated for consistency when both are present).
-    Compiled formats are LRU-cached (the scrape hot path reuses one
-    format per spec)."""
+    69-99 -> 19xx (unless %C supplies the century), and the date
+    resolves from the most specific complete representation —
+    (y,m,d) > (y,%j) > ISO (%G,%V,weekday) > (%Y,%U/%W,weekday) —
+    with every supplied field validated against the result, chrono's
+    Parsed::to_naive_date semantics. Compiled formats are LRU-cached
+    (the scrape hot path reuses one format per spec)."""
     rx, groups = _compile_date_fmt(fmt)
     m = rx.fullmatch(s.strip())
     if not m:
@@ -128,57 +200,122 @@ def parse_date(s: str, fmt: str) -> tuple[int, int, int]:
         year = int(vals["Y"])
     elif "y" in vals:
         yy = int(vals["y"])
-        year = 2000 + yy if yy <= 68 else 1900 + yy
-    for k in ("B",):
-        if k in vals:
-            if vals[k] not in _MONTHS:
-                raise ValueError(f"unknown month name {vals[k]!r}")
-            month = _MONTHS[vals[k]]
+        if "C" in vals:
+            year = 100 * int(vals["C"]) + yy
+        else:
+            year = 2000 + yy if yy <= 68 else 1900 + yy
+    if "B" in vals:
+        month = _month_from_name(vals["B"])
     for k in ("b", "h"):
         if k in vals:
-            key = vals[k][:3].title()
-            if key not in _MONTHS_ABBR:
-                raise ValueError(f"unknown month abbreviation {vals[k]!r}")
-            month = _MONTHS_ABBR[key]
+            month = _month_from_name(vals[k])
     if "m" in vals:
         month = int(vals["m"])
     if "d" in vals:
         day = int(vals["d"])
     if "e" in vals:
         day = int(vals["e"])
-    if year is None:
-        raise ValueError(f"format {fmt!r} carries no year")
+
+    # weekday from any numeric/name field (for week-based resolution)
+    weekday = None  # Monday=0..Sunday=6
+    if "A" in vals:
+        weekday = _weekday_from_name(vals["A"])
+    if "a" in vals:
+        weekday = _weekday_from_name(vals["a"])
+    if "u" in vals:
+        u = int(vals["u"])
+        if not 1 <= u <= 7:
+            raise ValueError(f"ISO weekday {u} out of range 1-7")
+        weekday = u - 1
+    if "w" in vals:
+        w = int(vals["w"])
+        if not 0 <= w <= 6:
+            raise ValueError(f"weekday {w} out of range 0-6")
+        weekday = (w + 6) % 7
+
+    iso_year = None
+    if "G" in vals:
+        iso_year = int(vals["G"])
+    elif "g" in vals:
+        gg = int(vals["g"])
+        iso_year = 2000 + gg if gg <= 68 else 1900 + gg
 
     import datetime as _dt
 
-    if "j" in vals and (month is None or day is None):
+    # resolution order = chrono Parsed::to_naive_date
+    if year is not None and month is not None and day is not None:
+        d = _dt.date(year, month, day)  # raises on impossible dates
+    elif year is not None and "j" in vals:
         d = _dt.date(year, 1, 1) + _dt.timedelta(days=int(vals["j"]) - 1)
         if d.year != year:
             raise ValueError(f"ordinal {vals['j']} out of range for {year}")
-        month, day = d.month, d.day
-    if month is None or day is None:
+    elif iso_year is not None and "V" in vals and weekday is not None:
+        d = _dt.date.fromisocalendar(iso_year, int(vals["V"]), weekday + 1)
+    elif year is not None and ("U" in vals or "W" in vals) and weekday is not None:
+        sunday_first = "U" in vals
+        week = int(vals["U" if sunday_first else "W"])
+        d = _week_based_date(year, week, weekday, sunday_first)
+    else:
+        if year is None:
+            raise ValueError(f"format {fmt!r} carries no year")
         raise ValueError(f"format {fmt!r} does not determine month/day")
-    d = _dt.date(year, month, day)  # raises on impossible dates
-    if "j" in vals and d.timetuple().tm_yday != int(vals["j"]):
-        raise ValueError(f"day-of-year {vals['j']} inconsistent with {d}")
-    for k, names in (("a", [w[:3] for w in _WEEKDAY_NAMES]),
-                     ("A", _WEEKDAY_NAMES)):
-        if k in vals and vals[k].title() not in names:
-            raise ValueError(f"unknown weekday {vals[k]!r}")
-        if k in vals and names.index(vals[k].title()) != d.weekday():
-            raise ValueError(f"weekday {vals[k]!r} inconsistent with {d}")
-    return year, month, day
+
+    # validate EVERY supplied field against the resolved date
+    checks = {
+        "Y": lambda: d.year == int(vals["Y"]),
+        "y": lambda: d.year % 100 == int(vals["y"]),
+        "C": lambda: d.year // 100 == int(vals["C"]),
+        "m": lambda: d.month == int(vals["m"]),
+        "d": lambda: d.day == int(vals["d"]),
+        "e": lambda: d.day == int(vals["e"]),
+        "B": lambda: d.month == _month_from_name(vals["B"]),
+        "b": lambda: d.month == _month_from_name(vals["b"]),
+        "h": lambda: d.month == _month_from_name(vals["h"]),
+        "j": lambda: d.timetuple().tm_yday == int(vals["j"]),
+        "a": lambda: d.weekday() == _weekday_from_name(vals["a"]),
+        "A": lambda: d.weekday() == _weekday_from_name(vals["A"]),
+        "u": lambda: d.isoweekday() == int(vals["u"]),
+        "w": lambda: (d.weekday() + 1) % 7 == int(vals["w"]),
+        "U": lambda: int(d.strftime("%U")) == int(vals["U"]),
+        "W": lambda: int(d.strftime("%W")) == int(vals["W"]),
+        "V": lambda: d.isocalendar()[1] == int(vals["V"]),
+        "G": lambda: d.isocalendar()[0] == int(vals["G"]),
+        "g": lambda: d.isocalendar()[0] % 100 == int(vals["g"]),
+    }
+    for k in vals:
+        chk = checks.get(k)
+        if chk is not None and not chk():
+            raise ValueError(f"field %{k}={vals[k]!r} inconsistent with {d}")
+    return d.year, d.month, d.day
 
 
 def format_date(ymd: tuple[int, int, int], fmt: str) -> str:
-    """chrono NaiveDate::format subset — date-bearing specifiers only
-    (formatting a NaiveDate with time specifiers is an error in chrono
-    too)."""
+    """chrono NaiveDate::format — date-bearing specifiers (formatting
+    a NaiveDate with time specifiers is an error in chrono too), plus
+    the %-/%0/%_ padding-override flags."""
     import datetime as _dt
 
     y, mo, dd = ymd
     d = _dt.date(y, mo, dd)
+    iso = d.isocalendar()
     fmt = _expand_fmt(fmt)
+    # numeric specifiers: (value, default pad char, width)
+    numeric: dict[str, tuple[int, str, int]] = {
+        "Y": (y, "0", 4),
+        "y": (y % 100, "0", 2),
+        "C": (y // 100, "0", 2),
+        "m": (mo, "0", 2),
+        "d": (dd, "0", 2),
+        "e": (dd, " ", 2),
+        "j": (d.timetuple().tm_yday, "0", 3),
+        "u": (d.isoweekday(), "0", 1),
+        "w": ((d.weekday() + 1) % 7, "0", 1),
+        "U": (int(d.strftime("%U")), "0", 2),
+        "W": (int(d.strftime("%W")), "0", 2),
+        "V": (iso[1], "0", 2),
+        "G": (iso[0], "0", 4),
+        "g": (iso[0] % 100, "0", 2),
+    }
     out: list[str] = []
     i = 0
     while i < len(fmt):
@@ -187,34 +324,27 @@ def format_date(ymd: tuple[int, int, int], fmt: str) -> str:
             out.append(c)
             i += 1
             continue
-        if i + 1 >= len(fmt):
-            raise ValueError(f"dangling %% in format {fmt!r}")
-        spec = fmt[i + 1]
-        if spec == "%":
+        flag, spec, nxt = _split_spec(fmt, i)
+        if spec == "%" and flag is None:
             out.append("%")
-        elif spec == "Y":
-            out.append(f"{y:04d}")
-        elif spec == "y":
-            out.append(f"{y % 100:02d}")
-        elif spec == "m":
-            out.append(f"{mo:02d}")
-        elif spec == "d":
-            out.append(f"{dd:02d}")
-        elif spec == "e":
-            out.append(f"{dd:2d}")
+        elif spec in numeric:
+            val, pad, width = numeric[spec]
+            pad = _PAD_FLAGS[flag] if flag is not None else pad
+            s = str(val)
+            if pad is not None and len(s) < width:
+                s = pad * (width - len(s)) + s
+            out.append(s)
         elif spec == "B":
             out.append(_MONTHS_BY_NUM[mo])
         elif spec in ("b", "h"):
             out.append(_MONTHS_BY_NUM[mo][:3])
-        elif spec == "j":
-            out.append(f"{d.timetuple().tm_yday:03d}")
         elif spec == "a":
             out.append(_WEEKDAY_NAMES[d.weekday()][:3])
         elif spec == "A":
             out.append(_WEEKDAY_NAMES[d.weekday()])
         else:
             raise ValueError(f"unsupported date format specifier %{spec}")
-        i += 2
+        i = nxt
     return "".join(out)
 
 

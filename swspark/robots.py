@@ -25,7 +25,7 @@ import re
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -152,13 +152,6 @@ def parse_robots(body: str, user_agent: str = "SWSbot") -> RobotRules:
     )
 
 
-ROBOTS_TABLE_TYPE = StructType(
-    [
-        StructField("crawl_delay", DoubleType()),
-        StructField("sitemaps", ArrayType(StringType())),
-    ]
-)
-
 ROBOTS_RULES_TYPE = StructType(
     [
         StructField("crawl_delay", DoubleType()),
@@ -271,67 +264,3 @@ def robots_filter_distributed(
         rules_table.select(host_col, "rules"), host_col, "left"
     )
     return joined.where(match(path, F.col("rules"))).drop("rules")
-
-
-def build_robots_table(
-    spark: SparkSession, robots: DataFrame, user_agent: str = "SWSbot"
-) -> tuple[DataFrame, dict[str, RobotRules]]:
-    """robots(host, body) -> (host, crawl_delay, sitemaps) DataFrame
-    plus the {host: RobotRules} dict for the allowed-UDF closure.
-
-    The robots table is per-host — even at 10^10 URLs the host count
-    is ~10^7; the parsed-rules dict is only used for path matching and
-    is distributed via Spark broadcast to stay off the driver hot path.
-    """
-
-    @F.pandas_udf(ROBOTS_TABLE_TYPE)
-    def meta_udf(body: pd.Series) -> pd.DataFrame:
-        delays, sms = [], []
-        for b in body:
-            r = parse_robots(b or "", user_agent)
-            delays.append(r.crawl_delay)
-            sms.append(r.sitemaps)
-        return pd.DataFrame({"crawl_delay": delays, "sitemaps": sms})
-
-    table = robots.select(
-        "host", meta_udf(F.col("body")).alias("m")
-    ).select("host", "m.crawl_delay", "m.sitemaps")
-
-    # driver-side parse for the matcher dict (host count is small in
-    # fixtures; at scale this would itself be a distributed collect of
-    # only hosts present in the current wave)
-    rules = {
-        r["host"]: parse_robots(r["body"] or "", user_agent)
-        for r in robots.select("host", "body").collect()
-    }
-    return table, rules
-
-
-def make_allowed_udf(spark: SparkSession, rules_by_host: dict[str, RobotRules]):
-    """Vectorized robots-allowed check: (host, path) -> bool.
-    Unknown host -> allowed (no robots.txt = no restrictions)."""
-    bc = spark.sparkContext.broadcast(rules_by_host)
-
-    @F.pandas_udf("boolean")
-    def allowed(host: pd.Series, path: pd.Series) -> pd.Series:
-        rb = bc.value
-        out = []
-        for h, p in zip(host, path):
-            r = rb.get(h)
-            out.append(True if r is None else r.allowed(p or "/"))
-        return pd.Series(out)
-
-    return allowed
-
-
-def robots_allowed_frontier(
-    spark: SparkSession,
-    frontier: DataFrame,
-    rules_by_host: dict[str, RobotRules],
-    url_col: str = "url",
-    host_col: str = "host",
-) -> DataFrame:
-    """Filter a frontier to robots-allowed URLs."""
-    allowed = make_allowed_udf(spark, rules_by_host)
-    path = urlnorm.url_path_query(F.col(url_col))
-    return frontier.where(allowed(F.col(host_col), path))

@@ -53,6 +53,30 @@ class SnapshotTable:
             fh.write(payload)
         os.replace(tmp, path)
 
+    def _all_versions(self) -> list[int]:
+        snaps = os.path.join(self.root, "snapshots")
+        out = []
+        for name in os.listdir(snaps):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _next_version(self) -> int:
+        """Next id = 1 + max(every manifest on disk, high-water mark).
+        The HWM file survives orphan purges, so an id is never reused
+        even after rollback deletes the orphan's manifest."""
+        vs = self._all_versions()
+        hwm = -1
+        try:
+            with open(os.path.join(self.root, "VERSION_HWM")) as fh:
+                hwm = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        return max(vs[-1] if vs else -1, hwm) + 1
+
     # --- API ----------------------------------------------------------
     def current_version(self) -> int | None:
         try:
@@ -109,7 +133,11 @@ class SnapshotTable:
             dirs = parent_m["data_dirs"] + [data_dir]
         else:
             dirs = [data_dir]
-        version = (parent + 1) if parent is not None else 0
+        # allocate past every manifest ever written (not parent+1):
+        # after a rollback the next commit must NOT reuse an orphan's
+        # id, or lineage values recorded against the old id would
+        # silently resolve to different data
+        version = self._next_version()
         manifest = {
             "version": version,
             "parent": parent,
@@ -120,6 +148,7 @@ class SnapshotTable:
         }
         # manifest first, pointer last — a crash in between leaves
         # CURRENT at the parent and the orphan manifest is harmless
+        self._write_atomic(os.path.join(self.root, "VERSION_HWM"), str(version))
         self._write_atomic(self._manifest_path(version), json.dumps(manifest))
         self._write_atomic(self._current_path(), str(version))
         return version
@@ -144,18 +173,49 @@ class SnapshotTable:
         number of snapshots discarded. Used on resume: a crash between
         a wave's table commits and the frontier pointer commit leaves
         orphan wave-N snapshots that the replayed wave would duplicate
-        (ancestry walk; snapshots are immutable so this is safe)."""
-        dropped = 0
+        (ancestry walk; snapshots are immutable so this is safe).
+
+        Orphaned snapshots are unreachable by design, so their
+        manifests AND any data dirs not referenced by the retained
+        chain are deleted here — otherwise every crash-resume leaks
+        the torn wave's parquet and, worse, a reused version id would
+        make old lineage references resolve to different data (ids
+        are additionally never reused: see ``_next_version``)."""
+        dropped: list[int] = []
         v = self.current_version()
         while v is not None:
             m = self.manifest(v)
             if m.get("lineage", {}).get(key, -1) < next_wave:
                 break
+            dropped.append(v)
             v = m.get("parent")
-            dropped += 1
         if dropped:
             self.set_current(v)
-        return dropped
+            self._purge_orphans(dropped)
+        return len(dropped)
+
+    def _purge_orphans(self, versions: list[int]) -> None:
+        """Delete the manifests of ``versions`` and any data dirs only
+        they reference. Retained = union of data_dirs over every
+        OTHER manifest still on disk (covers the current ancestry and
+        any sibling chains)."""
+        import shutil
+
+        drop = set(versions)
+        retained: set[str] = set()
+        for u in self._all_versions():
+            if u not in drop:
+                retained.update(self.manifest(u)["data_dirs"])
+        doomed: set[str] = set()
+        for u in versions:
+            doomed.update(self.manifest(u)["data_dirs"])
+        for d in doomed - retained:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        for u in versions:
+            try:
+                os.remove(self._manifest_path(u))
+            except FileNotFoundError:
+                pass
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)

@@ -219,8 +219,8 @@ def test_resume_mid_wave_crash_reconciles(spark, corpus, tables, tmp_path):
     )
     state.seen.commit(
         spark.createDataFrame(
-            [(123456789, "CRASH", next_wave)],
-            "url_hash long, url_canon string, wave int",
+            [(123456789, "CRASH", "CRASH", next_wave)],
+            "url_hash long, url_canon string, url string, wave int",
         ),
         mode="append", lineage={"wave": next_wave},
     )
@@ -268,6 +268,40 @@ def test_recrawl_aging(spark, corpus, tables, tmp_path):
     # never-refetched-too-early law: consecutive fetches >= ttl apart
     assert (trace.sort_values(["url", "wave"])
             .groupby("url").wave.diff().dropna() >= 2).all()
+
+
+def test_recrawl_resurrects_raw_url(spark, corpus, tables, tmp_path):
+    """A URL whose RAW form differs from its canonical form (explicit
+    :443) must refetch on recrawl: resurrection goes through the raw
+    url carried in the seen table, not url_canon — fetch joins the
+    pages source on the exact string (regression: r2 resurrected
+    url_canon, so non-canonical URLs fetched once then produced
+    phantom download errors on every recrawl)."""
+    raw = "https://news0.example.test:443/articles/weird"
+    pages = tables["pages"].unionByName(
+        spark.createDataFrame(
+            [(raw, "<html><body>weird</body></html>")], "url string, body string"
+        ).select(
+            "url",
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+            F.col("body").cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+        ).select(tables["pages"].columns),
+    )
+    seeds = spark.createDataFrame(
+        [(raw, "PAGES", "x")], "seed string, seed_kind string, scenario string"
+    )
+    cfg = CrawlConfig(spec="fulltext", wave_period=WAVE_PERIOD,
+                      recrawl_after_waves=2, max_waves=3)
+    crawl(spark, cfg, str(tmp_path / "w5raw"), seeds, tables["sitemaps"],
+          tables["robots"], pages)
+    state = CrawlState(str(tmp_path / "w5raw"))
+    trace = state.trace.read(spark).toPandas()
+    assert sorted(trace.wave.tolist()) == [0, 2]
+    assert set(trace.url) == {raw}  # raw form both times
+    errs = state.errors.read(spark).where(F.col("stage") == "download")
+    assert errs.count() == 0, errs.toPandas()
 
 
 def test_error_backoff_halves_budget(spark, corpus, tables, tmp_path):
