@@ -274,6 +274,70 @@ def run_crawl_wave_stages(spark, inputs: dict) -> dict:
     return {k: round(v, 2) for k, v in out.items()}
 
 
+def _settle(cpus: int) -> dict:
+    """Canary-based load-settle guard.
+
+    The r2 loadavg-only guard let a contaminated measurement through:
+    a heavy job (the test suite) finishing minutes earlier inflates
+    every timing 5-10x while load decays slower than the wait cap.
+    Instead of trusting loadavg alone, TIME a fixed CPU-bound
+    multithreaded numpy kernel: on a quiet box consecutive runs match
+    its best; while the box is digesting prior work the canary keeps
+    improving (streak resets), so we keep waiting. Exit needs 3+
+    samples, 2 consecutive within 15% of best without a new best, and
+    a sane loadavg — bounded by SPARK_GRAFT_SETTLE_MAX so the harness
+    can't hang. Returns diagnostics that ride into the bench JSON."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    def canary() -> float:
+        def work():
+            x = np.arange(200_000, dtype=np.uint64)
+            for _ in range(60):
+                x = (x * np.uint64(0x9E3779B97F4A7C15)) ^ (x >> np.uint64(13))
+            int(x[0])  # keep the buffer alive
+
+        ths = [threading.Thread(target=work) for _ in range(8)]
+        t0 = _time.perf_counter()
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        return _time.perf_counter() - t0
+
+    deadline = _time.time() + int(os.environ.get("SPARK_GRAFT_SETTLE_MAX", "300"))
+    best, streak, samples, load1, t = float("inf"), 0, 0, 0.0, 0.0
+    while True:
+        t = canary()
+        samples += 1
+        if t > best * 1.15:
+            streak = 0  # contended right now
+        elif t < best * 0.87:
+            streak = 0  # still improving: the prior 'best' was dirty
+        else:
+            streak += 1
+        best = min(best, t)
+        try:
+            with open("/proc/loadavg") as fh:
+                load1 = float(fh.read().split()[0])
+        except OSError:
+            load1 = 0.0
+        if samples >= 3 and streak >= 2 and load1 < max(2.0, cpus / 4):
+            break
+        if _time.time() >= deadline:
+            break
+        _time.sleep(5)
+    return {
+        "samples": samples,
+        "canary_best_s": round(best, 4),
+        "canary_last_s": round(t, 4),
+        "loadavg": load1,
+        "converged": samples >= 3 and streak >= 2,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -282,22 +346,7 @@ def main() -> None:
 
     apply_tmpfs_defaults()
 
-    # Load-settle guard: a heavy job finishing just before this run
-    # (e.g. a test suite) inflates every timing ~5-10x while the
-    # box's load decays (measured). Wait for the 1-min loadavg to
-    # drop before timing, bounded so the harness can't hang.
-    import time as _time
-
-    deadline = _time.time() + int(os.environ.get("SPARK_GRAFT_SETTLE_MAX", "300"))
-    while _time.time() < deadline:
-        try:
-            with open("/proc/loadavg") as fh:
-                load1 = float(fh.read().split()[0])
-        except OSError:
-            break
-        if load1 < 2.0:
-            break
-        _time.sleep(10)
+    settle_info = _settle(cpus)
 
     from swspark.session import get_spark
 
@@ -339,6 +388,7 @@ def main() -> None:
         "frontier_urls": n_urls,
         "urls_fetched": n_fetched,
         "extract_pages_per_sec": round(n_pages / edt, 1) if edt else 0.0,
+        "settle": settle_info,
     }
     print(json.dumps(out))
 

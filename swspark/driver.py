@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -46,6 +47,7 @@ from swspark.robots import build_robots_rules_table, robots_filter_distributed
 from swspark.scheduler import Throttle, salted_repartition, schedule_wave
 from swspark.seen import (
     BloomFilter,
+    bloom_geometry,
     build_filter_shards,
     filter_new_urls,
     load_shards,
@@ -81,6 +83,25 @@ class CrawlConfig:
     n_seen_buckets: int = 16
     bloom_bits_per_bucket: int = 1 << 20  # fixed-size -> mergeable deltas
     bloom_k: int = 7
+    # EXPECTED total frontier cardinality: when set, the Bloom shard
+    # geometry is derived from it (seen.bloom_geometry) instead of the
+    # fixed default — the fixed 2^20 bits/bucket saturates past ~10^6
+    # URLs/bucket and the fast path degrades to 'everything is a
+    # suspect' (correct but useless)
+    expected_total_urls: int | None = None
+    # mmap transport for the Bloom shard bitmaps (cluster-visible dir);
+    # None broadcasts the bytes — fine to ~100s of MB, not at 10^10
+    bloom_shard_dir: str | None = None
+    # state-table layout: every K waves the seen + frontier tables are
+    # compacted into ONE hash-bucketed snapshot (bucket keys = the
+    # join keys), so (a) the per-wave frontier commit is a wave-sized
+    # DELTA, never an O(|frontier|) rewrite, and (b) the discovery
+    # anti-join reads the accumulated base WITHOUT shuffling it
+    compact_every_waves: int = 8
+    n_storage_buckets: int = 32
+    # snapshots retained at expiry after each compaction (>=2 keeps
+    # the pre-compaction snapshot for time travel; 1 reclaims all)
+    snapshot_keep_last: int = 2
     on_dl_error: str = "skip"  # OnError::{Fail, SkipAndLog} (config.rs:81-86)
     on_xml_error: str = "skip"
     on_scrap_error: str = "skip"
@@ -217,6 +238,26 @@ def crawl(
     def robots_filter(df: DataFrame) -> DataFrame:
         return robots_filter_distributed(df, rules_table)
 
+    # effective Bloom geometry: derived from expected cardinality when
+    # given (seen.bloom_geometry), else the fixed test-scale default
+    if config.expected_total_urls is not None:
+        bloom_bits, bloom_k = bloom_geometry(
+            config.expected_total_urls, config.n_seen_buckets
+        )
+    else:
+        bloom_bits, bloom_k = config.bloom_bits_per_bucket, config.bloom_k
+    # state-table layout: bucket keys ARE the join keys, so the
+    # discovery anti-join and resume reconstruction stream the
+    # compacted base straight from its bucket files (no shuffle);
+    # the seen base is additionally dir-partitioned by wave so the
+    # recrawl-expiry read prunes to one wave's directories
+    key_bucket = {
+        "by": ["url_hash", "url_canon"],
+        "n": config.n_storage_buckets,
+        "sort": ["url_hash", "url_canon"],
+    }
+    seen_bucket = dict(key_bucket, partition=["wave"])
+
     if resume and state.frontier.exists():
         wave = state.frontier.manifest()["lineage"]["next_wave"]
         # cross-table reconciliation: a crash between a wave's table
@@ -225,7 +266,7 @@ def crawl(
         for tbl in (state.records, state.trace, state.errors, state.seen,
                     state.shards, state.discovered):
             tbl.rollback_to_wave_before(wave)
-        frontier = state.frontier.read(spark)
+        frontier = _reconstruct_frontier(spark, state.frontier)
         seen_df = (
             state.seen.read(spark)
             if state.seen.exists()
@@ -233,20 +274,22 @@ def crawl(
                 [], "url_hash long, url_canon string, url string, wave int"
             )
         )
-        blooms = _rebuild_blooms(spark, state, seen_df, config)
+        blooms = _rebuild_blooms(spark, state, seen_df, config,
+                                 bloom_bits, bloom_k)
     else:
         frontier, xml_errors, expand_cleanup = init_frontier(
             spark, config, seeds, sitemaps, rules_table, accept
         )
         frontier = robots_filter(frontier)
         wave = 0
+        # the seeded frontier IS the first compacted base (bucketed):
+        # wave-0's anti-joins and every later reconstruction anchor on it
         state.frontier.commit(
-            frontier, mode="overwrite", lineage={"next_wave": 0, "phase": "seeded"}
+            frontier, mode="overwrite", bucket=key_bucket,
+            lineage={"next_wave": 0, "phase": "seeded",
+                     "compacted_through": -1},
         )
-        frontier = state.frontier.read(spark)
-        seen_df = spark.createDataFrame(
-            [], "url_hash long, url_canon string, url string, wave int"
-        )
+        frontier = state.frontier.read_bucketed(spark)
         blooms: dict[int, BloomFilter] = {}
         if xml_errors is not None:
             state.errors.commit(
@@ -261,9 +304,15 @@ def crawl(
         expand_cleanup()  # frontier + errors are committed: release caches
 
     totals = {"waves": 0, "fetched": 0, "records": 0, "discovered": 0, "errors": 0}
+    # iterative-loop cache handles: cur_handle backs the current
+    # frontier (None when it is disk-backed), prev_frontier is the
+    # parent awaiting unpersist once the child materializes
+    cur_handle: DataFrame | None = None
+    prev_frontier: DataFrame | None = None
 
     while wave < config.max_waves:
         ttl = config.recrawl_after_waves
+        resurrected = None
         if ttl is not None and wave >= ttl:
             # resurrection: rows fetched exactly ttl waves ago age out
             # of the seen set's "fresh" window and rejoin the frontier
@@ -271,18 +320,24 @@ def crawl(
             # new seen row, so the cycle repeats every ttl waves).
             # frontier ∩ resurrected = ∅: a pending URL has no fresh
             # seen row, so it cannot be expiring now.
-            expired = seen_df.where(F.col("wave") == wave - ttl)
-            # resurrect the RAW url (seen carries it for exactly this):
-            # fetch_pages joins the pages source on the exact string, so
-            # a canonical-form resurrection would silently miss any URL
-            # whose raw form differs (uppercase host, :80, fragment)
-            resurrected = _frontier_rows(expired.select("url"), wave).withColumn(
-                "last_fetch_ts",
-                F.timestamp_seconds(
-                    F.lit(float((wave - ttl) * config.wave_period))
-                ),
-            ).select([f.name for f in FRONTIER_SCHEMA.fields])
-            frontier = frontier.unionByName(resurrected)
+            # read_wave prunes the read to wave w-ttl's own data dirs
+            # (or the base's wave=w-ttl partition) — never a full scan
+            expired = state.seen.read_wave(spark, wave - ttl)
+            if expired is not None:
+                # resurrect the RAW url (seen carries it for exactly
+                # this): fetch_pages joins the pages source on the
+                # exact string, so a canonical-form resurrection would
+                # silently miss any URL whose raw form differs
+                # (uppercase host, :80, fragment)
+                resurrected = _frontier_rows(
+                    expired.select("url"), wave
+                ).withColumn(
+                    "last_fetch_ts",
+                    F.timestamp_seconds(
+                        F.lit(float((wave - ttl) * config.wave_period))
+                    ),
+                ).select([f.name for f in FRONTIER_SCHEMA.fields])
+                frontier = frontier.unionByName(resurrected)
 
         budgets_dim = rules_table.select(F.col("host"), "crawl_delay")
         if config.error_backoff_window is not None and state.errors.exists():
@@ -315,12 +370,18 @@ def crawl(
             config.salt_buckets,
         ).cache()
         n_sched = scheduled.count()
+        # the count above materialized THIS wave's frontier (persisted
+        # or freshly read); its parent's cache is now dead weight
+        if prev_frontier is not None:
+            prev_frontier.unpersist()
+            prev_frontier = None
         if n_sched == 0:
             scheduled.unpersist()
             if ttl is None:
                 break  # quiescence (A28)
+            # last fetch wave straight from commit lineage — no scan
             last = (
-                seen_df.agg(F.max("wave")).first()[0]
+                state.seen.manifest()["lineage"].get("wave")
                 if state.seen.exists() else None
             )
             if last is None or wave >= last + ttl:
@@ -370,18 +431,33 @@ def crawl(
             "url_hash", "url_canon", "url", F.lit(wave).alias("wave")
         )
         state.seen.commit(seen_delta, mode="append", lineage={"wave": wave})
-        seen_df = state.seen.read(spark)
+        compaction_due = (wave + 1) % config.compact_every_waves == 0
+        if compaction_due:
+            # fold base + K wave deltas into one bucketed, wave-
+            # partitioned snapshot (bounded maintenance; amortized
+            # O(|seen|/K) per wave) and reclaim superseded dirs
+            state.seen.compact(
+                spark, seen_bucket,
+                lineage={"wave": wave, "compacted_through": wave},
+            )
+            # retention floor K+2: every post-compaction wave's delta
+            # manifest must outlive the next cycle (read_wave walks
+            # them for recrawl expiry, and crash-rollback needs the
+            # previous wave's manifest as its anchor)
+            state.seen.expire_snapshots(
+                max(config.snapshot_keep_last, config.compact_every_waves + 2)
+            )
         # durable incremental shard delta (distributed build), persisted
         # so the same shards feed both the table commit and the
         # in-memory merge below without recomputation
         delta_shards = build_filter_shards(
             seen_delta, config.n_seen_buckets,
-            fixed_bits=config.bloom_bits_per_bucket, fixed_k=config.bloom_k,
+            fixed_bits=bloom_bits, fixed_k=bloom_k,
         ).persist()
         state.shards.commit(
             delta_shards, mode="append",
             lineage={"wave": wave,
-                     "geometry": [config.bloom_bits_per_bucket, config.bloom_k],
+                     "geometry": [bloom_bits, bloom_k],
                      "seen_version": state.seen.current_version()},
         )
         # merge the distributed shard blobs (n_seen_buckets fixed-size
@@ -394,8 +470,13 @@ def crawl(
             disc.select(F.col("discovered_url").alias("url")), wave + 1
         )
         disc_new = robots_filter(disc_new)
-        disc_new = filter_new_urls(spark, disc_new, seen_df, blooms,
-                                   config.n_seen_buckets)
+        # split read: Bloom-positive suspects take a shuffle-free
+        # sort-merge anti-join against the bucketed base + broadcast
+        # anti-joins against the recent wave deltas
+        disc_new = filter_new_urls(
+            spark, disc_new, state.seen.read_split(spark), blooms,
+            config.n_seen_buckets, shard_dir=config.bloom_shard_dir,
+        )
         state.discovered.commit(
             disc.select(F.lit(wave).alias("wave"), "url", "discovered_url"),
             mode="append",
@@ -418,8 +499,38 @@ def crawl(
             "errors": n_errors,
             "seen_version": state.seen.current_version(),
         }
-        state.frontier.commit(next_frontier, mode="overwrite", lineage=lineage)
-        frontier = state.frontier.read(spark)
+        if compaction_due:
+            # every K waves: materialize the frontier as a fresh
+            # bucketed base (full rewrite, amortized O(|frontier|/K)
+            # per wave) — also resets the iterative plan lineage
+            lineage["compacted_through"] = wave
+            state.frontier.commit(
+                next_frontier, mode="overwrite", bucket=key_bucket,
+                lineage=lineage,
+            )
+            state.frontier.expire_snapshots(config.snapshot_keep_last)
+            if cur_handle is not None:
+                cur_handle.unpersist()
+                cur_handle = None
+            frontier = state.frontier.read_bucketed(spark)
+        else:
+            # wave-sized DELTA commit (op log: del = scheduled keys,
+            # add = discovered + resurrected rows) — never the
+            # O(|frontier|)-rewrite the r2 loop paid every wave.
+            # Resume reconstructs base ⊳ deltas (_reconstruct_frontier).
+            state.frontier.commit(
+                _frontier_delta(seen_delta, disc_new, resurrected, wave),
+                mode="append", lineage=lineage,
+            )
+            # iterative-loop caching (the Pregel pattern): the next
+            # frontier persists; its parent unpersists right after the
+            # next wave's first action materializes this one
+            next_frontier = next_frontier.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            prev_frontier = cur_handle
+            cur_handle = next_frontier
+            frontier = next_frontier
         scheduled.unpersist()
 
         totals["waves"] += 1
@@ -438,6 +549,9 @@ def crawl(
     return totals
 
 
+_FRONTIER_KEYS = ["url_hash", "url_canon"]
+
+
 def build_next_frontier(
     frontier: DataFrame,
     seen_delta: DataFrame,
@@ -451,39 +565,133 @@ def build_next_frontier(
     accumulated table is unnecessary. The delta is wave-sized —
     broadcast it (broadcast_delta) so the frontier side never shuffles
     for the anti-join at all; oversized waves fall back to a shuffle
-    join. Pending + newly-discovered rows then merge in ONE shuffle:
-    union → per-key min_by(discovered_wave) keeps the existing
-    frontier row when a URL is rediscovered (deterministic: remaining
-    rows carry waves <= wave, disc_new rows are wave+1, and each side
-    is already unique by key). Plan shape is pinned by
-    tests/test_plans.py.
+    join.
+
+    Pending + newly-discovered rows then merge via a FULL OUTER join
+    on the keys with 'pending wins' (a pending row was discovered
+    strictly earlier: any frontier row has discovered_wave <= wave,
+    every disc_new row carries wave+1 — so this reproduces the
+    min_by(discovered_wave) semantics). A join, not union+groupBy,
+    because the big side already satisfies the key clustering — it is
+    either the previous wave's merge output (persisted, hash-
+    partitioned on the keys) or the bucketed compaction base — so
+    only the wave-sized disc_new side shuffles. Plan shape is pinned
+    by tests/test_plans.py.
     """
-    delta_keys = seen_delta.select("url_hash", "url_canon")
+    delta_keys = seen_delta.select(*_FRONTIER_KEYS)
     if broadcast_delta:
         delta_keys = F.broadcast(delta_keys)
-    remaining = frontier.join(
-        delta_keys, ["url_hash", "url_canon"], "left_anti"
+    remaining = frontier.join(delta_keys, _FRONTIER_KEYS, "left_anti")
+    val_cols = [
+        f.name for f in FRONTIER_SCHEMA.fields if f.name not in _FRONTIER_KEYS
+    ]
+    merged = remaining.alias("f").join(
+        disc_new.alias("d"), _FRONTIER_KEYS, "full_outer"
     )
-    merged = remaining.unionByName(disc_new)
+    pending_wins = F.col("f.url").isNotNull()
+    return merged.select(
+        *_FRONTIER_KEYS,
+        *[
+            F.when(pending_wins, F.col(f"f.{c}"))
+            .otherwise(F.col(f"d.{c}"))
+            .alias(c)
+            for c in val_cols
+        ],
+    ).select([f.name for f in FRONTIER_SCHEMA.fields])
+
+
+def _frontier_delta(
+    seen_delta: DataFrame,
+    disc_new: DataFrame,
+    resurrected: DataFrame | None,
+    wave: int,
+) -> DataFrame:
+    """One wave's frontier op-log rows: del = this wave's scheduled
+    keys, add = discovered (wave+1) and resurrected (wave) rows. The
+    commit is wave-sized; `_reconstruct_frontier` folds the log over
+    the bucketed base on resume."""
+    val_fields = [
+        f for f in FRONTIER_SCHEMA.fields if f.name not in _FRONTIER_KEYS
+    ]
+    adds = disc_new
+    if resurrected is not None:
+        adds = adds.unionByName(resurrected)
+    add_rows = adds.select(
+        *[f.name for f in FRONTIER_SCHEMA.fields],
+        F.lit("add").alias("op"),
+        F.lit(wave).alias("delta_wave"),
+    )
+    del_rows = seen_delta.select(
+        *_FRONTIER_KEYS,
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in val_fields],
+        F.lit("del").alias("op"),
+        F.lit(wave).alias("delta_wave"),
+    )
+    return add_rows.unionByName(del_rows.select(add_rows.columns))
+
+
+def _reconstruct_frontier(spark: SparkSession, table) -> DataFrame:
+    """Resume: fold the frontier op-log over the bucketed base.
+
+    present(key): latest op wins — del at wave D kills the base row
+    and every add with wave <= D (a resurrected row scheduled in its
+    own wave is add+del at the SAME wave: del wins, matching the live
+    loop). Among surviving adds the EARLIEST discovered_wave wins,
+    and a base row (never deleted) always predates any add — the same
+    'pending wins' rule build_next_frontier applies per wave. The
+    base side joins shuffle-free (bucketed on the keys)."""
+    m = table.manifest()
+    bv = table.base_version()
+    if bv is None:  # legacy layout (pre-bucketed seed): plain read
+        return table.read(spark)
+    base = table.read_bucketed(spark, bv)
+    base_dirs = set(table.manifest(bv)["data_dirs"])
+    delta_dirs = [d for d in m["data_dirs"] if d not in base_dirs]
+    if not delta_dirs:
+        return base
+    ops = spark.read.parquet(
+        *[os.path.join(table.root, d) for d in delta_dirs]
+    )
+    dels = (
+        ops.where(F.col("op") == "del")
+        .groupBy(*_FRONTIER_KEYS)
+        .agg(F.max("delta_wave").alias("_last_del"))
+    )
+    # no broadcast hints: the base side is bucketed on the keys, so
+    # its anti-join shuffles only the delta side whatever its size;
+    # AQE may still pick broadcast when the log is small
+    base_live = base.join(dels, _FRONTIER_KEYS, "left_anti")
+    adds = ops.where(F.col("op") == "add")
+    adds_live = (
+        adds.join(dels, _FRONTIER_KEYS, "left")
+        .where(
+            F.col("_last_del").isNull()
+            | (F.col("delta_wave") > F.col("_last_del"))
+        )
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
+    )
     row = F.struct(*[F.col(f.name) for f in FRONTIER_SCHEMA.fields])
     return (
-        merged.groupBy("url_hash", "url_canon")
+        base_live.select([f.name for f in FRONTIER_SCHEMA.fields])
+        .unionByName(adds_live)
+        .groupBy(*_FRONTIER_KEYS)
         .agg(F.min_by(row, F.col("discovered_wave")).alias("r"))
         .select("r.*")
     )
 
 
 def _rebuild_blooms(
-    spark: SparkSession, state: CrawlState, seen_df: DataFrame, config: CrawlConfig
+    spark: SparkSession, state: CrawlState, seen_df: DataFrame,
+    config: CrawlConfig, bloom_bits: int, bloom_k: int,
 ) -> dict[int, BloomFilter]:
     """Resume path (SURVEY.md §7 risk 3): load the persisted shard
     deltas if their geometry and seen-version line up; otherwise fall
-    back to an exact rebuild from the seen table."""
+    back to an exact rebuild from the seen table. ``bloom_bits`` /
+    ``bloom_k`` are the EFFECTIVE geometry (possibly derived from
+    config.expected_total_urls)."""
     if state.shards.exists():
         m = state.shards.manifest()["lineage"]
-        geometry_ok = m.get("geometry") == [
-            config.bloom_bits_per_bucket, config.bloom_k
-        ]
+        geometry_ok = m.get("geometry") == [bloom_bits, bloom_k]
         version_ok = m.get("seen_version") == state.seen.current_version()
         if geometry_ok and version_ok:
             try:
@@ -494,7 +702,7 @@ def _rebuild_blooms(
         return {}
     shards = build_filter_shards(
         seen_df, config.n_seen_buckets,
-        fixed_bits=config.bloom_bits_per_bucket, fixed_k=config.bloom_k,
+        fixed_bits=bloom_bits, fixed_k=bloom_k,
     )
     return load_shards(shards)
 

@@ -26,6 +26,7 @@ inside Arrow UDFs / applyInPandas — no per-row Python.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -311,8 +312,96 @@ def load_shards(shards_df: DataFrame) -> dict[int, BloomFilter]:
     return out
 
 
-def make_maybe_seen_udf(spark: SparkSession, blooms: dict[int, BloomFilter],
-                        n_buckets: int):
+def bloom_geometry(
+    expected_urls: int, n_buckets: int, fpp: float = 0.01
+) -> tuple[int, int]:
+    """Derive (bits_per_bucket, k) from the EXPECTED total URL count —
+    the 10^10-scale knob. A fixed 2^20-bit default holds ~10^6 URLs
+    per bucket at fpp 0.01 and silently saturates (FPR -> 1) beyond
+    that; sizing from cardinality keeps the discovery fast path
+    meaningful at any scale. Bits are rounded up to a power of two so
+    per-wave delta shards stay OR-mergeable under one geometry."""
+    n = max(1, expected_urls // max(1, n_buckets))
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m_bits = 1 << max(13, (m - 1).bit_length())
+    k = max(1, round(m_bits / n * math.log(2)))
+    return m_bits, min(k, 16)
+
+
+def write_shard_files(
+    blooms: dict[int, BloomFilter], shard_dir: str,
+    buckets: "set[int] | None" = None,
+) -> dict[int, tuple[int, int, str]]:
+    """Persist shard bitmaps as raw files for the mmap read path
+    (``buckets`` limits the rewrite to this wave's touched shards).
+    At 10^10 URLs the full filter set is ~1.2 GB/10^10 x fpp terms —
+    too big to broadcast per wave; executors mmap the files instead
+    (shard_dir must be cluster-visible: NFS/EFS/alluxio or a
+    node-local sync). Atomic per file (write-tmp + rename)."""
+    import uuid as _uuid
+
+    os.makedirs(shard_dir, exist_ok=True)
+    meta: dict[int, tuple[int, int, str]] = {}
+    for b, bf in blooms.items():
+        path = os.path.join(shard_dir, f"bloom_{b:05d}.bits")
+        if buckets is None or b in buckets:
+            tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as fh:
+                fh.write(bf.to_bytes())
+            os.replace(tmp, path)
+        meta[b] = (bf.m, bf.k, path)
+    return meta
+
+
+_MMAP_CACHE: dict[tuple[str, float], np.ndarray] = {}
+
+
+def _mmap_bits(path: str) -> np.ndarray:
+    """Per-executor-process mmap cache keyed by (path, mtime): a
+    rewritten shard is re-mapped, an unchanged one costs nothing
+    (pages stay in the OS cache across waves)."""
+    mtime = os.path.getmtime(path)
+    key = (path, mtime)
+    arr = _MMAP_CACHE.get(key)
+    if arr is None:
+        _MMAP_CACHE.clear()  # old epochs are dead: release their maps
+        arr = np.memmap(path, dtype=np.uint8, mode="r")
+        _MMAP_CACHE[key] = arr
+    return arr
+
+
+def make_maybe_seen_udf(
+    spark: SparkSession,
+    blooms: dict[int, BloomFilter],
+    n_buckets: int,
+    shard_dir: str | None = None,
+):
+    """Vectorized 'maybe seen' probe. Two transports for the shard
+    bitmaps: broadcast bytes (default; fine to ~100s of MB) or mmap
+    files under ``shard_dir`` (the 10^10 path — only (m, k, path)
+    triples ship with the closure; executors map pages on demand)."""
+    if shard_dir is not None:
+        meta = write_shard_files(blooms, shard_dir)
+        bc = spark.sparkContext.broadcast(meta)
+
+        @F.pandas_udf("boolean")
+        def maybe_seen(url_hash: pd.Series) -> pd.Series:
+            h = url_hash.to_numpy(dtype=np.int64)
+            buckets = np.mod(h, n_buckets)
+            buckets = np.where(buckets < 0, buckets + n_buckets, buckets)
+            out = np.zeros(len(h), dtype=bool)
+            for b in np.unique(buckets):
+                ent = bc.value.get(int(b))
+                if ent is None:
+                    continue
+                m, k, path = ent
+                bf = BloomFilter(m, k, _mmap_bits(path))
+                mask = buckets == b
+                out[mask] = bf.contains_many(h[mask])
+            return pd.Series(out)
+
+        return maybe_seen
+
     bc = spark.sparkContext.broadcast(
         {b: (f.m, f.k, f.to_bytes()) for b, f in blooms.items()}
     )
@@ -340,29 +429,42 @@ def make_maybe_seen_udf(spark: SparkSession, blooms: dict[int, BloomFilter],
 def filter_new_urls(
     spark: SparkSession,
     candidates: DataFrame,
-    seen: DataFrame,
+    seen: "DataFrame | list[DataFrame]",
     blooms: dict[int, BloomFilter] | None,
     n_buckets: int,
+    shard_dir: str | None = None,
 ) -> DataFrame:
     """Return candidates not in the seen set.
 
-    Fast path: Bloom 'definitely new' rows skip the join entirely.
-    Slow path: Bloom-positive rows take an exact ``left_anti`` join on
+    Fast path: Bloom 'definitely new' rows skip the join entirely
+    (bitmaps via broadcast or, at scale, mmap files — ``shard_dir``).
+    Slow path: Bloom-positive rows take exact ``left_anti`` joins on
     url_hash+url_canon (hash-first keeps the join key narrow; the url
     equality guards against xxhash64 collisions at 10^10 scale).
+
+    ``seen`` may be a list of parts from SnapshotTable.read_split:
+    part 0 is the bucketed compacted base — its anti-join is a
+    sort-merge that shuffles ONLY the (wave-sized) suspect side, the
+    10^10-row base streams from its bucket files — and later parts
+    are recent per-wave deltas, joined broadcast.
     candidates must carry url_hash/url_canon (with_url_identity).
     """
     if blooms:
-        maybe_seen = make_maybe_seen_udf(spark, blooms, n_buckets)
+        maybe_seen = make_maybe_seen_udf(spark, blooms, n_buckets,
+                                         shard_dir=shard_dir)
         flagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_hash")))
         definitely_new = flagged.where(~F.col("_maybe")).drop("_maybe")
         suspects = flagged.where(F.col("_maybe")).drop("_maybe")
     else:
         definitely_new = candidates.limit(0)
         suspects = candidates
-    confirmed_new = suspects.join(
-        seen.select("url_hash", "url_canon"),
-        ["url_hash", "url_canon"],
-        "left_anti",
-    )
+    parts = seen if isinstance(seen, list) else [seen]
+    confirmed_new = suspects
+    for i, part in enumerate(parts):
+        rhs = part.select("url_hash", "url_canon")
+        if i > 0:
+            rhs = F.broadcast(rhs)  # delta parts are wave-sized
+        confirmed_new = confirmed_new.join(
+            rhs, ["url_hash", "url_canon"], "left_anti"
+        )
     return definitely_new.unionByName(confirmed_new)

@@ -93,14 +93,27 @@ class SnapshotTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def _manifest_or_none(self, version: int | None) -> dict | None:
+        if version is None:
+            return None
+        try:
+            return self.manifest(version)
+        except FileNotFoundError:
+            return None  # expired ancestor: the walk stops here
+
     def history(self) -> list[dict]:
         out = []
-        v = self.current_version()
-        while v is not None:
-            m = self.manifest(v)
+        m = self._manifest_or_none(self.current_version())
+        while m is not None:
             out.append(m)
-            v = m.get("parent")
+            m = self._manifest_or_none(m.get("parent"))
         return out
+
+    def _bucket_table_name(self, version: int) -> str:
+        import hashlib
+
+        h = hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:10]
+        return f"swsnap_{h}_v{version}"
 
     def commit(
         self,
@@ -108,21 +121,63 @@ class SnapshotTable:
         mode: str = "append",
         lineage: dict | None = None,
         count_rows: bool = False,
+        bucket: dict | None = None,
     ) -> int:
         """Write df as a new snapshot; returns the new version id.
 
         ``count_rows=True`` rides an observe() on the write job (no
         extra action) and records ``n_rows`` in the lineage — the
         flow-accounting trick from swspark.fetch applied to commits.
-        """
+
+        ``bucket`` = {"by": [cols], "n": int, "sort": [cols],
+        "partition": [cols]} lays the snapshot out hash-bucketed (and
+        optionally dir-partitioned), Iceberg's bucket transform: a
+        later equi-join on the bucket columns reads this side with NO
+        shuffle (storage-partitioned join), and a filter on a
+        partition column prunes to its directories. Requires
+        mode="overwrite" (a bucketed layout is a whole-snapshot
+        property). The catalog entry is re-creatable from the manifest
+        on any later session (``read_bucketed``)."""
         assert mode in ("append", "overwrite")
+        if bucket is not None:
+            assert mode == "overwrite", "bucketed commits are full rewrites"
         obs = None
         if count_rows:
             obs = Observation(f"commit-{uuid.uuid4().hex[:8]}")
             df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         data_dir = os.path.join("data", uuid.uuid4().hex)
         abs_dir = os.path.join(self.root, data_dir)
-        df.write.mode("overwrite").parquet(abs_dir)
+        version = self._next_version()  # single-writer: safe to pre-allocate
+        bucket_meta = None
+        if bucket is not None:
+            name = self._bucket_table_name(version)
+            part_cols = list(bucket.get("partition") or [])
+            # saveAsTable orders columns (data..., partition...); keep
+            # the manifest DDL in that exact order for re-registration
+            ddl_cols = [f for f in df.schema.fields if f.name not in part_cols] + [
+                f for f in df.schema.fields if f.name in part_cols
+            ]
+            w = df.write.mode("overwrite").format("parquet").option("path", abs_dir)
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w = w.bucketBy(bucket["n"], *bucket["by"])
+            if bucket.get("sort"):
+                w = w.sortBy(*bucket["sort"])
+            spark = df.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            w.saveAsTable(name)
+            bucket_meta = {
+                "table": name,
+                "n": bucket["n"],
+                "by": list(bucket["by"]),
+                "sort": list(bucket.get("sort") or []),
+                "partition": part_cols,
+                "schema_ddl": ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in ddl_cols
+                ),
+            }
+        else:
+            df.write.mode("overwrite").parquet(abs_dir)
         lineage = dict(lineage or {})
         if obs is not None:
             lineage["n_rows"] = obs.get["n_rows"]
@@ -133,11 +188,10 @@ class SnapshotTable:
             dirs = parent_m["data_dirs"] + [data_dir]
         else:
             dirs = [data_dir]
-        # allocate past every manifest ever written (not parent+1):
-        # after a rollback the next commit must NOT reuse an orphan's
-        # id, or lineage values recorded against the old id would
-        # silently resolve to different data
-        version = self._next_version()
+        # version allocated past every manifest ever written (not
+        # parent+1): after a rollback the next commit must NOT reuse
+        # an orphan's id, or lineage values recorded against the old
+        # id would silently resolve to different data
         manifest = {
             "version": version,
             "parent": parent,
@@ -146,6 +200,8 @@ class SnapshotTable:
             "committed_at": time.time(),
             "lineage": lineage,
         }
+        if bucket_meta is not None:
+            manifest["bucket"] = bucket_meta
         # manifest first, pointer last — a crash in between leaves
         # CURRENT at the parent and the orphan manifest is harmless
         self._write_atomic(os.path.join(self.root, "VERSION_HWM"), str(version))
@@ -184,8 +240,8 @@ class SnapshotTable:
         dropped: list[int] = []
         v = self.current_version()
         while v is not None:
-            m = self.manifest(v)
-            if m.get("lineage", {}).get(key, -1) < next_wave:
+            m = self._manifest_or_none(v)
+            if m is None or m.get("lineage", {}).get(key, -1) < next_wave:
                 break
             dropped.append(v)
             v = m.get("parent")
@@ -221,8 +277,160 @@ class SnapshotTable:
         m = self.manifest(version)
         if m is None:
             raise FileNotFoundError(f"no snapshot in {self.root}")
+        bv = self.base_version(m["version"])
+        if bv is not None:
+            # a compacted base may be dir-partitioned; its dirs cannot
+            # be globbed together with flat delta dirs — route the
+            # base through the catalog and union the deltas by name
+            base_dirs = set(self.manifest(bv)["data_dirs"])
+            df = self.read_bucketed(spark, bv)
+            delta_dirs = [d for d in m["data_dirs"] if d not in base_dirs]
+            if delta_dirs:
+                df = df.unionByName(
+                    spark.read.parquet(
+                        *[os.path.join(self.root, d) for d in delta_dirs]
+                    )
+                )
+            return df
         paths = [os.path.join(self.root, d) for d in m["data_dirs"]]
         return spark.read.parquet(*paths)
+
+    def read_bucketed(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a bucketed snapshot THROUGH the catalog so Spark knows
+        its output partitioning: an equi-join on the bucket columns
+        then shuffles only the other side (this is the layout
+        bench.py's seen anti-join measures). The catalog entry is
+        re-created from the manifest if this session never saw it
+        (e.g. resume in a fresh SparkSession)."""
+        m = self.manifest(version)
+        if m is None or "bucket" not in m:
+            raise ValueError(f"snapshot in {self.root} is not bucketed")
+        b = m["bucket"]
+        name = b["table"]
+        if not spark.catalog.tableExists(name):
+            abs_dir = os.path.join(self.root, m["data_dirs"][0])
+            parts = (
+                f" PARTITIONED BY ({', '.join(b['partition'])})"
+                if b["partition"]
+                else ""
+            )
+            sort = (
+                f" SORTED BY ({', '.join(b['sort'])})" if b["sort"] else ""
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({b['schema_ddl']}) USING PARQUET"
+                f"{parts} CLUSTERED BY ({', '.join(b['by'])}){sort} "
+                f"INTO {b['n']} BUCKETS LOCATION '{abs_dir}'"
+            )
+            if b["partition"]:
+                spark.sql(f"MSCK REPAIR TABLE {name}")
+        return spark.table(name)
+
+    def base_version(self, version: int | None = None) -> int | None:
+        """Newest ancestor (inclusive) that is a bucketed overwrite —
+        the compaction 'base' a split read anchors on."""
+        v = version if version is not None else self.current_version()
+        while v is not None:
+            m = self._manifest_or_none(v)
+            if m is None:
+                return None
+            if "bucket" in m:
+                return v
+            v = m.get("parent")
+        return None
+
+    def read_split(
+        self, spark: SparkSession, version: int | None = None
+    ) -> list[DataFrame]:
+        """The scale read path: [bucketed base, delta-dirs...] as
+        SEPARATE DataFrames so callers can join each with the right
+        strategy — shuffle-free sort-merge against the base, broadcast
+        against the (wave-sized) deltas. Falls back to [read()] when
+        no compaction has happened yet."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        bv = self.base_version(m["version"])
+        if bv is None:
+            return [self.read(spark, m["version"])]
+        base_dirs = set(self.manifest(bv)["data_dirs"])
+        delta_dirs = [d for d in m["data_dirs"] if d not in base_dirs]
+        out = [self.read_bucketed(spark, bv)]
+        if delta_dirs:
+            out.append(
+                spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in delta_dirs]
+                )
+            )
+        return out
+
+    def read_wave(
+        self, spark: SparkSession, wave: int, key: str = "wave"
+    ) -> DataFrame | None:
+        """Read ONLY the rows committed for ``wave`` — lineage-based
+        data-dir pruning (the recrawl-expiry read): an append commit
+        whose lineage matches reads just its own dir; waves folded
+        into a compacted base read the base with a partition-pruned
+        filter (the base is dir-partitioned by ``key``). Returns None
+        when the table holds nothing for that wave."""
+        v = self.current_version()
+        while v is not None:
+            m = self._manifest_or_none(v)
+            if m is None:
+                return None
+            if m.get("lineage", {}).get(key) == wave and m["mode"] == "append":
+                parent = m.get("parent")
+                pdirs = (
+                    set(self.manifest(parent)["data_dirs"])
+                    if parent is not None
+                    else set()
+                )
+                new = [d for d in m["data_dirs"] if d not in pdirs]
+                if new:
+                    return spark.read.parquet(
+                        *[os.path.join(self.root, d) for d in new]
+                    )
+            if "bucket" in m:
+                # compacted base: rows for old waves live here, pruned
+                # by the wave partition dirs
+                covered = m.get("lineage", {}).get("compacted_through")
+                if covered is not None and wave <= covered:
+                    return self.read_bucketed(spark, m["version"]).where(
+                        F.col(key) == wave
+                    )
+                return None
+            v = m.get("parent")
+        return None
+
+    def compact(
+        self,
+        spark: SparkSession,
+        bucket: dict,
+        lineage: dict | None = None,
+    ) -> int:
+        """Fold the accumulated snapshot (base + deltas) into ONE
+        bucketed overwrite — Iceberg rewrite_data_files. Bounded-cost
+        maintenance run every K waves so the delta list never grows
+        unboundedly and the big joins stay shuffle-free."""
+        return self.commit(
+            self.read(spark), mode="overwrite", lineage=lineage, bucket=bucket
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Iceberg expire_snapshots: drop ancestry older than the
+        newest ``keep_last`` snapshots, deleting manifests and any
+        data dirs no retained snapshot references (a compaction
+        supersedes every pre-compaction dir, so without expiry each
+        compaction would leave a full dead copy on disk). Returns the
+        number of snapshots expired. Time travel stays available for
+        the retained window."""
+        chain = [m["version"] for m in self.history()]
+        doomed = chain[keep_last:]
+        if doomed:
+            self._purge_orphans(doomed)
+            # retained manifests still name the expired parents; the
+            # history walk stops when a parent manifest is missing
+        return len(doomed)
 
     def exists(self) -> bool:
         return self.current_version() is not None

@@ -187,6 +187,54 @@ def test_resume_equals_uninterrupted(spark, corpus, tables, tmp_path):
         pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
 
 
+def test_compaction_invariant_and_resume_across_boundary(
+    spark, corpus, tables, tmp_path
+):
+    """Compaction is pure maintenance: with compact_every_waves=2 the
+    trace/seen/records must be byte-identical to the default-cadence
+    run, and a kill-after-wave-3 resume (which reconstructs the
+    frontier from bucketed base + op-log deltas ACROSS a compaction
+    boundary) must replay to the same state."""
+    _, _ = run_crawl(
+        spark, tables, "dict_sitemap", tmp_path / "cfull", "urbandict",
+        accept=accept_term,
+    )
+    cfg_k = CrawlConfig(spec="urbandict", wave_period=WAVE_PERIOD,
+                        compact_every_waves=2)
+    crawl(
+        spark, cfg_k, str(tmp_path / "ck"),
+        scenario_seeds(tables, "dict_sitemap"), tables["sitemaps"],
+        tables["robots"], tables["pages"], accept=accept_term,
+    )
+    cfg_part = CrawlConfig(spec="urbandict", wave_period=WAVE_PERIOD,
+                           compact_every_waves=2, max_waves=3)
+    crawl(
+        spark, cfg_part, str(tmp_path / "cpart"),
+        scenario_seeds(tables, "dict_sitemap"), tables["sitemaps"],
+        tables["robots"], tables["pages"], accept=accept_term,
+    )
+    crawl(
+        spark, cfg_k, str(tmp_path / "cpart"),
+        scenario_seeds(tables, "dict_sitemap"), tables["sitemaps"],
+        tables["robots"], tables["pages"], accept=accept_term, resume=True,
+    )
+    sf = CrawlState(str(tmp_path / "cfull"))
+    for other in ("ck", "cpart"):
+        so = CrawlState(str(tmp_path / other))
+        for name, key in (
+            ("trace", ["wave", "host", "url"]),
+            ("seen", ["url_canon", "wave"]),
+        ):
+            a = (getattr(sf, name).read(spark).toPandas()
+                 .sort_values(key).reset_index(drop=True))
+            b = (getattr(so, name).read(spark).toPandas()
+                 .sort_values(key).reset_index(drop=True))
+            pd.testing.assert_frame_equal(a, b[a.columns.tolist()], obj=f"{other}.{name}")
+    # the compacting run really did compact: current seen snapshot is
+    # a bucketed base (+ maybe deltas), not a pure append chain
+    assert CrawlState(str(tmp_path / "ck")).seen.base_version() is not None
+
+
 def test_resume_mid_wave_crash_reconciles(spark, corpus, tables, tmp_path):
     """A crash BETWEEN a wave's table commits and the frontier pointer
     commit must not double-append on resume: reconciliation rolls

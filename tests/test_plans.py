@@ -120,16 +120,28 @@ def test_brute_force_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # no global sort
 
 
-def test_driver_frontier_update_plan(spark, pages_parquet):
+def test_driver_frontier_update_plan(spark, pages_parquet, tmp_path):
     """The per-wave frontier update must (a) anti-join against the
     wave DELTA via broadcast — the big frontier side never shuffles
-    for it — and (b) spend exactly one exchange total (the merge
-    groupBy), never a shuffle keyed on the accumulated seen table."""
+    for it — and (b) merge pending + discovered via a full-outer join
+    whose BIG side reuses the frontier's existing clustering (here the
+    bucketed compaction base; in steady state the persisted previous
+    merge), so the only hash exchange in the whole update is the
+    wave-sized discovery side."""
     from swspark.driver import FRONTIER_SCHEMA, _frontier_rows, build_next_frontier
+    from swspark.tables import SnapshotTable
 
-    frontier = _frontier_rows(
+    rows = _frontier_rows(
         spark.read.parquet(pages_parquet).select("url"), wave=0
     )
+    t = SnapshotTable(str(tmp_path / "frontier"))
+    t.commit(
+        rows, mode="overwrite",
+        bucket={"by": ["url_hash", "url_canon"], "n": 4,
+                "sort": ["url_hash", "url_canon"]},
+        lineage={"next_wave": 0, "compacted_through": -1},
+    )
+    frontier = t.read_bucketed(spark)
     seen_delta = frontier.limit(10).select(
         "url_hash", "url_canon", F.lit(0).alias("wave")
     )
@@ -143,10 +155,51 @@ def test_driver_frontier_update_plan(spark, pages_parquet):
     ]
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan
-    # one shuffle for the merge aggregation; the anti-join adds none
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 1, plan
+    # full-outer merge runs as a sort-merge join on the keys
+    assert "FullOuter" in plan
+    # the ONLY hash exchange is the wave-sized disc_new side: the
+    # bucketed frontier scan satisfies the join clustering as-is
+    # (formatted mode lists exchange arguments in the details section)
+    n_exchanges = plan.count("Arguments: hashpartitioning(url_hash")
+    assert n_exchanges == 1, plan
+
+
+def test_reconstruct_frontier_base_side_no_shuffle(spark, pages_parquet, tmp_path):
+    """Resume reconstruction folds the op log over the bucketed base:
+    the base side of the del anti-join must stream from its bucket
+    files (no exchange keyed on the base)."""
+    from swspark.driver import (
+        _frontier_delta, _frontier_rows, _reconstruct_frontier,
+    )
+    from swspark.tables import SnapshotTable
+
+    rows = _frontier_rows(
+        spark.read.parquet(pages_parquet).select("url"), wave=0
+    )
+    t = SnapshotTable(str(tmp_path / "frontier"))
+    t.commit(
+        rows, mode="overwrite",
+        bucket={"by": ["url_hash", "url_canon"], "n": 4,
+                "sort": ["url_hash", "url_canon"]},
+        lineage={"next_wave": 0, "compacted_through": -1},
+    )
+    seen_delta = rows.limit(10).select(
+        "url_hash", "url_canon", "url", F.lit(0).alias("wave")
+    )
+    disc_new = _frontier_rows(
+        spark.read.parquet(pages_parquet).select("url").limit(5), wave=1
+    )
+    t.commit(_frontier_delta(seen_delta, disc_new, None, 0),
+             mode="append", lineage={"next_wave": 1, "wave": 0})
+    recon = _reconstruct_frontier(spark, t)
+    n_total = rows.count()
+    n_del = 10
+    # discovered URLs here are already pending -> merge keeps them once
+    assert recon.count() == n_total - n_del
+    plan = plan_of(recon)
+    # bucketed base scan appears; exchanges only on op-log-sized sides
+    scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert any("swsnap_" in ln for ln in scan_lines), plan
 
 
 def test_minhash_signature_stays_jvm(spark, pages_parquet):

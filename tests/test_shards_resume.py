@@ -55,7 +55,8 @@ def test_resume_uses_persisted_shards(spark, tmp_path):
     # resume path: blooms come from the shard table and agree with the
     # exact seen set (no false negatives)
     seen_df = state.seen.read(spark)
-    blooms = _rebuild_blooms(spark, state, seen_df, cfg)
+    blooms = _rebuild_blooms(spark, state, seen_df, cfg,
+                             cfg.bloom_bits_per_bucket, cfg.bloom_k)
     hashes = np.array([r.url_hash for r in seen_df.collect()], dtype=np.int64)
     buckets = np.mod(hashes, cfg.n_seen_buckets)
     buckets = np.where(buckets < 0, buckets + cfg.n_seen_buckets, buckets)
@@ -64,7 +65,8 @@ def test_resume_uses_persisted_shards(spark, tmp_path):
 
     # geometry bump -> fallback rebuild still yields valid blooms
     cfg2 = CrawlConfig(spec="fandom", bloom_bits_per_bucket=1 << 18)
-    blooms2 = _rebuild_blooms(spark, state, seen_df, cfg2)
+    blooms2 = _rebuild_blooms(spark, state, seen_df, cfg2,
+                              cfg2.bloom_bits_per_bucket, cfg2.bloom_k)
     for b in np.unique(buckets):
         assert blooms2[int(b)].contains_many(hashes[buckets == b]).all()
         assert blooms2[int(b)].m == 1 << 18

@@ -66,3 +66,63 @@ def test_rollback_after_overwrite_keeps_other_chain_dirs(spark, tmp_path):
     assert t.rollback_to_wave_before(2) == 1
     assert t.current_version() == v1
     assert _xs(spark, t) == [1, 2]
+
+
+def test_read_wave_pruning_and_split(spark, tmp_path):
+    """read_wave must touch ONLY the requested wave's data (VERDICT r2
+    #4): a delta wave reads its own dir; a compacted wave reads the
+    base with a partition-pruned filter. read_split returns
+    [bucketed base, deltas] for split-strategy joins."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    B = {"by": ["x"], "n": 2, "sort": ["x"], "partition": ["wave"]}
+    for w in range(3):
+        _commit(spark, t, [10 * w, 10 * w + 1], w)
+    t.compact(spark, B, lineage={"wave": 2, "compacted_through": 2})
+    _commit(spark, t, [30, 31], 3)
+    _commit(spark, t, [40, 41], 4)
+
+    # post-compaction wave: exactly its own dir
+    w4 = t.read_wave(spark, 4)
+    assert sorted(r.x for r in w4.collect()) == [40, 41]
+    plan = w4._sc._jvm.PythonSQLUtils.explainString(
+        w4._jdf.queryExecution(), "formatted"
+    )
+    assert "swsnap_" not in plan  # not the base: the delta dir alone
+
+    # compacted wave: base read with a wave partition filter
+    w1 = t.read_wave(spark, 1)
+    assert sorted(r.x for r in w1.collect()) == [10, 11]
+    plan1 = w1._sc._jvm.PythonSQLUtils.explainString(
+        w1._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan1
+
+    # unknown wave
+    assert t.read_wave(spark, 99) is None
+
+    parts = t.read_split(spark)
+    assert len(parts) == 2
+    assert sorted(r.x for r in parts[0].collect()) == [0, 1, 10, 11, 20, 21]
+    assert sorted(r.x for r in parts[1].collect()) == [30, 31, 40, 41]
+    # whole-table read still sees everything
+    assert len(_xs(spark, t)) == 10
+
+
+def test_expire_snapshots_reclaims_superseded_dirs(spark, tmp_path):
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    B = {"by": ["x"], "n": 2, "sort": ["x"]}
+    for w in range(4):
+        _commit(spark, t, [w], w)
+    t.compact(spark, B, lineage={"wave": 3, "compacted_through": 3})
+    assert t.expire_snapshots(keep_last=1) == 4
+    assert _xs(spark, t) == [0, 1, 2, 3]
+    # only the compacted dir remains on disk
+    assert len(os.listdir(os.path.join(t.root, "data"))) == 1
+    assert len(t.history()) == 1
+    # version ids still never reused after expiry (HWM survives)
+    v = _commit(spark, t, [9], 4)
+    assert v > 4  # 5 snapshots existed before expiry
