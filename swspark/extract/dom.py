@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
+from swspark.extract.htmltok import tokenize as _fast_tokenize
+
 DOCUMENT = 0
 DOCTYPE = 1
 COMMENT = 2
@@ -339,6 +341,9 @@ class _TextStream(HTMLParser):
 def stream_fulltext(html: str | bytes) -> str:
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
+    evs = _fast_tokenize(html)
+    if evs is not None:
+        return "".join(e[1] for e in evs if e[0] == "d")
     ts = _TextStream()
     try:
         ts.feed(html)
@@ -346,6 +351,58 @@ def stream_fulltext(html: str | bytes) -> str:
     except Exception:  # parse problems are never fatal (html/mod.rs:19-22)
         pass
     return "".join(ts.parts)
+
+
+def _build_tree(events) -> "tuple[Node, list[str]]":
+    """Tight event->tree loop (same construction rules as
+    _TreeBuilder, minus per-event method dispatch)."""
+    root = Node(DOCUMENT)
+    errors: list[str] = []
+    stack = [root]
+    for ev in events:
+        k = ev[0]
+        if k == "d":
+            top = stack[-1]
+            ch = top.children
+            if ch and ch[-1].kind == TEXT:
+                ch[-1].text += ev[1]
+            else:
+                node = Node(TEXT, text=ev[1])
+                node.parent = top
+                ch.append(node)
+        elif k == "s" or k == "x":
+            el = Node(ELEMENT, name=ev[1])
+            amap = el.attrs
+            for a, v in ev[2]:
+                if a not in amap:  # first occurrence wins (html5 spec)
+                    amap[a] = v if v is not None else ""
+            el.id = amap.get("id")
+            cls = amap.get("class")
+            if cls:
+                el.classes = frozenset(cls.split())
+            top = stack[-1]
+            el.parent = top
+            top.children.append(el)
+            if k == "s" and ev[1] not in VOID_ELEMENTS:
+                stack.append(el)
+        elif k == "e":
+            tag = ev[1]
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].name == tag:
+                    del stack[i:]
+                    break
+            else:
+                errors.append(f"unmatched end tag </{tag}>")
+        elif k == "c":
+            stack[-1].append(Node(COMMENT, text=ev[1]))
+        elif k == "!":
+            d = ev[1]
+            stack[-1].append(
+                Node(DOCTYPE, text=d.split(None, 1)[1] if " " in d else d)
+            )
+        else:  # "?"
+            stack[-1].append(Node(PI, text=ev[1].rstrip("?")))
+    return root, errors
 
 
 class Html:
@@ -365,6 +422,13 @@ class Html:
     def parse_document(cls, html: str | bytes) -> "Html":
         if isinstance(html, (bytes, bytearray)):
             html = bytes(html).decode("utf-8", errors="replace")
+        # fast tokenizer (event-identical to html.parser; differential-
+        # fuzzed in tests) — a None return means the document hit a
+        # construct only stdlib handles, so reparse with html.parser
+        evs = _fast_tokenize(html)
+        if evs is not None:
+            root, errors = _build_tree(evs)
+            return cls(root, errors)
         tb = _TreeBuilder()
         try:
             tb.feed(html)
