@@ -814,6 +814,97 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_schedule_wave(spark, "/root/testdata/sf0.001")
 
 
+
+def q_frontier_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier op-log fold (swspark.driver.fold_frontier_ops — the
+    resume-reconstruction semantics behind the delta-log commits):
+    base ⊳ (adds, dels) with last-del-wins per key, same-wave del
+    beating its add, earliest-discovered row winning among survivors.
+    Base/ops are synthesized deterministically from the events table;
+    URLs are pre-canonical so the DuckDB twin can fold on the url
+    string alone (url_hash is a pure function of it)."""
+    from swspark.driver import FRONTIER_SCHEMA, fold_frontier_ops
+    from swspark.seen import with_url_identity
+    from swspark import urlnorm
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    url = F.concat(
+        F.lit("https://host"), (F.col("user_id") % 20).cast("string"),
+        F.lit(".example.test/ev/"), F.col("event_id").cast("string"),
+    )
+
+    def rows(df, wave_col):
+        return (
+            with_url_identity(df)
+            .withColumn("host", urlnorm.url_host(F.col("url")))
+            .withColumn("priority", F.lit(0))
+            .withColumn("last_fetch_ts", F.lit(None).cast("timestamp"))
+            .withColumn("discovered_wave", wave_col.cast("int"))
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+
+    base = rows(
+        ev.where(F.col("event_id") % 5 != 0).select(url.alias("url")), F.lit(0)
+    )
+    adds = rows(
+        ev.where(F.col("event_id") % 4 == 0)
+        .select(url.alias("url"), ((F.col("event_id") % 9) + 1).alias("w")),
+        F.col("w"),
+    ).withColumn("op", F.lit("add")).withColumn(
+        "delta_wave", F.col("discovered_wave")
+    )
+    val_fields = [
+        f for f in FRONTIER_SCHEMA.fields
+        if f.name not in ("url_hash", "url_canon")
+    ]
+    dels = (
+        with_url_identity(
+            ev.where(F.col("event_id") % 3 == 0)
+            .select(url.alias("url"), ((F.col("event_id") % 7) + 1).alias("w"))
+        )
+        .select(
+            "url_hash", "url_canon",
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in val_fields],
+            F.lit("del").alias("op"),
+            F.col("w").cast("int").alias("delta_wave"),
+        )
+    )
+    out = fold_frontier_ops(base, adds.unionByName(dels.select(adds.columns)))
+    return out.select(
+        "url", "host", F.col("discovered_wave").cast("long").alias("discovered_wave")
+    )
+
+
+SQL_FRONTIER_OPLOG = """
+WITH u AS (
+  SELECT event_id,
+         'https://host' || CAST(user_id % 20 AS VARCHAR)
+           || '.example.test/ev/' || CAST(event_id AS VARCHAR) AS url,
+         'host' || CAST(user_id % 20 AS VARCHAR) || '.example.test' AS host
+  FROM events
+), base AS (
+  SELECT url, host, 0 AS discovered_wave FROM u WHERE event_id % 5 <> 0
+), dels AS (
+  SELECT url, MAX((event_id % 7) + 1) AS last_del
+  FROM u WHERE event_id % 3 = 0 GROUP BY url
+), adds AS (
+  SELECT url, host, (event_id % 9) + 1 AS delta_wave,
+         (event_id % 9) + 1 AS discovered_wave
+  FROM u WHERE event_id % 4 = 0
+), base_live AS (
+  SELECT b.url, b.host, b.discovered_wave FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM dels d WHERE d.url = b.url)
+), adds_live AS (
+  SELECT a.url, a.host, a.discovered_wave FROM adds a
+  LEFT JOIN dels d ON d.url = a.url
+  WHERE d.last_del IS NULL OR a.delta_wave > d.last_del
+)
+SELECT url, host, CAST(MIN(discovered_wave) AS BIGINT) AS discovered_wave
+FROM (SELECT * FROM base_live UNION ALL SELECT * FROM adds_live)
+GROUP BY url, host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "schedule_wave": q_schedule_wave,
@@ -840,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_plan": q_media_plan,
         "crawl_wave": q_crawl_wave,
+        "frontier_oplog": q_frontier_oplog,
     }
 
 
@@ -867,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": SQL_MEDIA_DECODE,
         "media_plan": SQL_MEDIA_PLAN,
         "crawl_wave": SQL_CRAWL_WAVE,
+        "frontier_oplog": SQL_FRONTIER_OPLOG,
         "simhash_planted": SQL_SIMHASH_PLANTED,
         # simhash_pairs is the single rows-only entry left: its
         # xxhash64 sketch is not SQL-expressible in DuckDB; exactness

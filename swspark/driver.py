@@ -652,14 +652,30 @@ def _reconstruct_frontier(spark: SparkSession, table) -> DataFrame:
     ops = spark.read.parquet(
         *[os.path.join(table.root, d) for d in delta_dirs]
     )
+    return fold_frontier_ops(base, ops)
+
+
+def fold_frontier_ops(base: DataFrame, ops: DataFrame) -> DataFrame:
+    """Fold a frontier op log over a base (pure DataFrame semantics,
+    oracle-checked by the ``frontier_oplog`` entry query):
+
+    - a key's LAST del (max delta_wave over op='del') kills the base
+      row and every add with delta_wave <= that del (same-wave
+      add+del: del wins — a resurrected row scheduled in its own
+      wave is gone);
+    - among surviving adds the EARLIEST discovered_wave wins, and a
+      base row (never deleted) predates any add — the per-wave
+      'pending wins' rule of build_next_frontier, replayed.
+
+    No broadcast hints: the base side is bucketed on the keys in the
+    resume path, so its anti-join shuffles only the op-log side
+    whatever its size; AQE may still pick broadcast when the log is
+    small."""
     dels = (
         ops.where(F.col("op") == "del")
         .groupBy(*_FRONTIER_KEYS)
         .agg(F.max("delta_wave").alias("_last_del"))
     )
-    # no broadcast hints: the base side is bucketed on the keys, so
-    # its anti-join shuffles only the delta side whatever its size;
-    # AQE may still pick broadcast when the log is small
     base_live = base.join(dels, _FRONTIER_KEYS, "left_anti")
     adds = ops.where(F.col("op") == "add")
     adds_live = (
