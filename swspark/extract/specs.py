@@ -74,7 +74,8 @@ _PARSE_TOKENS: dict[str, str] = {
 }
 # compound specifiers expand before tokenization, like chrono
 _COMPOUND = {"D": "%m/%d/%y", "F": "%Y-%m-%d", "v": "%e-%b-%Y",
-             "T": "%H:%M:%S", "R": "%H:%M", "x": "%m/%d/%y"}
+             "T": "%H:%M:%S", "R": "%H:%M", "x": "%m/%d/%y",
+             "c": "%a %b %e %H:%M:%S %Y"}
 # padding-override flags (chrono: %-d no pad, %0e zero pad, %_m space
 # pad); parsing is width-flexible either way, formatting honors them
 _PAD_FLAGS = {"-": None, "0": "0", "_": " "}
@@ -180,7 +181,7 @@ def _week_based_date(year: int, week: int, weekday_mon0: int, sunday_first: bool
 def parse_date(s: str, fmt: str) -> tuple[int, int, int]:
     """chrono-NaiveDate-compatible strptime (interop.rs:204-222):
     %Y %y %C %m %d %e %B %b %h %j %a %A %u %w %U %W %V %G %g
-    %H %M %S %D %F %v %T %R %x %% and the %-/%0/%_ padding flags.
+    %H %M %S %D %F %v %T %R %x %c %% and the %-/%0/%_ padding flags.
     Locale-independent by construction; like NaiveDate, time-of-day
     fields parse but don't affect the result, %y maps 00-68 -> 20xx /
     69-99 -> 19xx (unless %C supplies the century), and the date

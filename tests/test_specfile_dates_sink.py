@@ -97,6 +97,7 @@ def test_parse_date_long_tail_specifiers():
     and the %-/%0/%_ padding flags (VERDICT r2 'what's missing' #1)."""
     assert parse_date("20 15-09-05", "%C %y-%m-%d") == (2015, 9, 5)
     assert parse_date("09/05/15", "%x") == (2015, 9, 5)
+    assert parse_date("Sat Sep  5 14:03:01 2015", "%c") == (2015, 9, 5)
     # ISO week date: 2015-09-05 is ISO 2015-W36-6
     assert parse_date("2015-W36-6", "%G-W%V-%u") == (2015, 9, 5)
     # ISO year != calendar year at the boundary: 2016-01-01 is 2015-W53-5
