@@ -309,6 +309,7 @@ def crawl(
     # parent awaiting unpersist once the child materializes
     cur_handle: DataFrame | None = None
     prev_frontier: DataFrame | None = None
+    shards_synced = False  # mmap transport: full shard-file refresh once
 
     while wave < config.max_waves:
         ttl = config.recrawl_after_waves
@@ -377,6 +378,21 @@ def crawl(
             prev_frontier = None
         if n_sched == 0:
             scheduled.unpersist()
+            if resurrected is not None:
+                # an idle (fully-throttled) wave still changed the
+                # frontier: commit the resurrected rows as add-only
+                # op-log deltas, or a crash after later waves advance
+                # next_wave would rebuild a frontier silently missing
+                # them (read_wave consults wave w-ttl exactly once)
+                state.frontier.commit(
+                    _frontier_delta(
+                        resurrected.limit(0), resurrected.limit(0),
+                        resurrected, wave,
+                    ),
+                    mode="append",
+                    lineage={"next_wave": wave + 1, "wave": wave,
+                             "scheduled": 0},
+                )
             if ttl is None:
                 break  # quiescence (A28)
             # last fetch wave straight from commit lineage — no scan
@@ -462,7 +478,7 @@ def crawl(
         )
         # merge the distributed shard blobs (n_seen_buckets fixed-size
         # rows, ~2 MB total) — never the raw frontier-cardinality hashes
-        _merge_bloom_shards(blooms, delta_shards)
+        wave_touched = _merge_bloom_shards(blooms, delta_shards)
         delta_shards.unpersist()
 
         # --- discovered URLs -> next frontier (sendUrl feedback, A22) --
@@ -476,7 +492,13 @@ def crawl(
         disc_new = filter_new_urls(
             spark, disc_new, state.seen.read_split(spark), blooms,
             config.n_seen_buckets, shard_dir=config.bloom_shard_dir,
+            # first write of a session refreshes every shard file (the
+            # on-disk set may be stale); afterwards only this wave's
+            # touched buckets are rewritten (their mtime bump is the
+            # only re-map executors pay)
+            touched_buckets=wave_touched if shards_synced else None,
         )
+        shards_synced = True
         state.discovered.commit(
             disc.select(F.lit(wave).alias("wave"), "url", "discovered_url"),
             mode="append",
@@ -725,12 +747,14 @@ def _rebuild_blooms(
 
 def _merge_bloom_shards(
     blooms: dict[int, BloomFilter], delta_shards: DataFrame
-) -> dict[int, BloomFilter]:
+) -> set[int]:
     """Incremental per-wave shard update: OR-merge the distributed
     fixed-geometry shard blobs (one bounded-size row per touched
     bucket) into the in-memory fast-path filters. The driver never
     sees frontier-cardinality data — only n_seen_buckets x 128 KiB of
-    bitmaps per wave."""
+    bitmaps per wave. Returns the touched bucket ids so the mmap
+    transport rewrites only those shard files."""
+    touched: set[int] = set()
     for r in delta_shards.select("bucket", "m_bits", "k", "bloom").collect():
         bf = BloomFilter.from_bytes(r.m_bits, r.k, bytes(r.bloom))
         prev = blooms.get(r.bucket)
@@ -738,4 +762,5 @@ def _merge_bloom_shards(
             blooms[r.bucket] = bf
         else:
             prev.merge(bf)
-    return blooms
+        touched.add(int(r.bucket))
+    return touched

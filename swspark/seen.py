@@ -344,7 +344,7 @@ def write_shard_files(
     meta: dict[int, tuple[int, int, str]] = {}
     for b, bf in blooms.items():
         path = os.path.join(shard_dir, f"bloom_{b:05d}.bits")
-        if buckets is None or b in buckets:
+        if buckets is None or b in buckets or not os.path.exists(path):
             tmp = path + f".tmp-{_uuid.uuid4().hex[:8]}"
             with open(tmp, "wb") as fh:
                 fh.write(bf.to_bytes())
@@ -364,7 +364,11 @@ def _mmap_bits(path: str) -> np.ndarray:
     key = (path, mtime)
     arr = _MMAP_CACHE.get(key)
     if arr is None:
-        _MMAP_CACHE.clear()  # old epochs are dead: release their maps
+        # evict only stale epochs of THIS shard; other buckets' live
+        # mappings stay cached (clearing everything would re-memmap
+        # every probed shard each batch whenever any one shard moved)
+        for stale in [k for k in _MMAP_CACHE if k[0] == path]:
+            del _MMAP_CACHE[stale]
         arr = np.memmap(path, dtype=np.uint8, mode="r")
         _MMAP_CACHE[key] = arr
     return arr
@@ -375,13 +379,19 @@ def make_maybe_seen_udf(
     blooms: dict[int, BloomFilter],
     n_buckets: int,
     shard_dir: str | None = None,
+    touched_buckets: "set[int] | None" = None,
 ):
     """Vectorized 'maybe seen' probe. Two transports for the shard
     bitmaps: broadcast bytes (default; fine to ~100s of MB) or mmap
     files under ``shard_dir`` (the 10^10 path — only (m, k, path)
-    triples ship with the closure; executors map pages on demand)."""
+    triples ship with the closure; executors map pages on demand).
+    ``touched_buckets`` limits the shard-file rewrite to the buckets
+    this wave's delta actually modified (None = write everything —
+    the first call of a session, when on-disk files may be stale):
+    at 10^10 scale a full rewrite is multi-GB of driver IO per wave
+    and bumps every mtime, forcing executors to re-map all shards."""
     if shard_dir is not None:
-        meta = write_shard_files(blooms, shard_dir)
+        meta = write_shard_files(blooms, shard_dir, buckets=touched_buckets)
         bc = spark.sparkContext.broadcast(meta)
 
         @F.pandas_udf("boolean")
@@ -433,6 +443,7 @@ def filter_new_urls(
     blooms: dict[int, BloomFilter] | None,
     n_buckets: int,
     shard_dir: str | None = None,
+    touched_buckets: "set[int] | None" = None,
 ) -> DataFrame:
     """Return candidates not in the seen set.
 
@@ -451,7 +462,8 @@ def filter_new_urls(
     """
     if blooms:
         maybe_seen = make_maybe_seen_udf(spark, blooms, n_buckets,
-                                         shard_dir=shard_dir)
+                                         shard_dir=shard_dir,
+                                         touched_buckets=touched_buckets)
         flagged = candidates.withColumn("_maybe", maybe_seen(F.col("url_hash")))
         definitely_new = flagged.where(~F.col("_maybe")).drop("_maybe")
         suspects = flagged.where(F.col("_maybe")).drop("_maybe")

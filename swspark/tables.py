@@ -286,11 +286,22 @@ class SnapshotTable:
             df = self.read_bucketed(spark, bv)
             delta_dirs = [d for d in m["data_dirs"] if d not in base_dirs]
             if delta_dirs:
-                df = df.unionByName(
-                    spark.read.parquet(
-                        *[os.path.join(self.root, d) for d in delta_dirs]
-                    )
+                deltas = spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in delta_dirs]
                 )
+                extra = set(deltas.columns) - set(df.columns)
+                if extra:
+                    # op-log deltas (frontier: op/delta_wave) are NOT
+                    # plain appended rows — a naive union would surface
+                    # del markers as data. Fail loudly instead of
+                    # AnalysisException-ing deep inside unionByName.
+                    raise ValueError(
+                        f"{self.root}: delta commits carry op-log columns "
+                        f"{sorted(extra)}; read()/compact() cannot fold "
+                        "an op log — reconstruct via "
+                        "driver._reconstruct_frontier / fold_frontier_ops"
+                    )
+                df = df.unionByName(deltas)
             return df
         paths = [os.path.join(self.root, d) for d in m["data_dirs"]]
         return spark.read.parquet(*paths)

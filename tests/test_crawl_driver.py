@@ -403,3 +403,47 @@ def test_robots_disallow_enforced(spark, corpus, tables, tmp_path):
     state = CrawlState(str(tmp_path / "w4"))
     urls = [r.url for r in state.trace.read(spark).select("url").collect()]
     assert urls == ["https://news0.example.test/articles/000001"]
+
+
+def test_idle_resurrection_committed_to_oplog(spark, corpus, tables, tmp_path):
+    """ADVICE r4 (medium): resurrected URLs from a fully-throttled
+    (idle, n_sched==0) wave must land in the frontier op log before
+    next_wave advances past them — otherwise a later resume rebuilds a
+    frontier silently missing them and read_wave never re-derives the
+    expiry (it consults wave w-ttl exactly once)."""
+    from swspark.driver import _reconstruct_frontier
+    from swspark.scheduler import Throttle
+
+    urls = ["https://news0.example.test/articles/000001",
+            "https://news0.example.test/articles/000002"]
+    seeds = spark.createDataFrame(
+        [(u, "PAGES", "x") for u in urls],
+        "seed string, seed_kind string, scenario string",
+    )
+    wh = str(tmp_path / "widle")
+    # phase 1: fetch both at wave 0
+    cfg1 = CrawlConfig(spec="fulltext", wave_period=WAVE_PERIOD,
+                       recrawl_after_waves=2, max_waves=1)
+    crawl(spark, cfg1, wh, seeds, tables["sitemaps"], tables["robots"],
+          tables["pages"])
+    # phase 2: paused throttle (PER_SECOND 0.05 x period 10 -> budget 0):
+    # wave 1 idle, wave 2 resurrects both URLs but schedules nothing
+    cfg2 = CrawlConfig(spec="fulltext", wave_period=WAVE_PERIOD,
+                       recrawl_after_waves=2, max_waves=3,
+                       throttle=Throttle("PER_SECOND", 0.05))
+    crawl(spark, cfg2, wh, seeds, tables["sitemaps"], tables["robots"],
+          tables["pages"], resume=True)
+    state = CrawlState(wh)
+    # the idle resurrection wave was committed: pointer advanced AND
+    # the op log reconstructs the resurrected frontier
+    assert state.frontier.manifest()["lineage"]["next_wave"] == 3
+    recon = _reconstruct_frontier(spark, state.frontier)
+    assert sorted(r.url for r in recon.collect()) == sorted(urls)
+    # phase 3: resume with a live throttle -> both refetch at wave 3
+    cfg3 = CrawlConfig(spec="fulltext", wave_period=WAVE_PERIOD,
+                       recrawl_after_waves=2, max_waves=4)
+    crawl(spark, cfg3, wh, seeds, tables["sitemaps"], tables["robots"],
+          tables["pages"], resume=True)
+    trace = state.trace.read(spark).toPandas()
+    per_url = trace.groupby("url").wave.apply(lambda s: sorted(s.tolist()))
+    assert all(v == [0, 3] for v in per_url), per_url.to_dict()

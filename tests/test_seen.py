@@ -202,3 +202,63 @@ def test_filter_new_urls_split_parts(spark, seen_tables):
     assert sorted(r.url for r in whole.collect()) == sorted(
         r.url for r in split.collect()
     )
+
+
+def test_mmap_cache_keeps_other_buckets(tmp_path):
+    """ADVICE r3: a cache miss for one shard must not evict other
+    shards' live mappings — only stale epochs of the SAME path (else
+    every probed shard re-memmaps whenever any one shard is rewritten)."""
+    import os
+    import time
+
+    from swspark.seen import _MMAP_CACHE, _mmap_bits
+
+    _MMAP_CACHE.clear()
+    a, b = str(tmp_path / "a.bits"), str(tmp_path / "b.bits")
+    for p in (a, b):
+        with open(p, "wb") as fh:
+            fh.write(b"\x00" * 64)
+    arr_a = _mmap_bits(a)
+    arr_b = _mmap_bits(b)
+    assert len(_MMAP_CACHE) == 2
+    # rewrite a (new epoch): b's mapping must survive, a's old one goes
+    time.sleep(0.01)
+    with open(a, "wb") as fh:
+        fh.write(b"\xff" * 64)
+    os.utime(a, (time.time() + 10, time.time() + 10))  # force new mtime
+    arr_a2 = _mmap_bits(a)
+    assert arr_a2[0] == 0xFF
+    assert len(_MMAP_CACHE) == 2  # {a@new, b} — not just {a@new}
+    assert _mmap_bits(b) is arr_b  # identity: b never re-mapped
+    _MMAP_CACHE.clear()
+
+
+def test_write_shard_files_touched_only(tmp_path):
+    """ADVICE r3: per-wave shard persistence must rewrite only the
+    touched buckets (at 10^10 scale a full rewrite is multi-GB of
+    driver IO per wave and bumps every mtime, forcing executors to
+    re-map every shard)."""
+    import os
+
+    from swspark.seen import BloomFilter, write_shard_files
+
+    blooms = {b: BloomFilter(1 << 13, 7) for b in range(4)}
+    d = str(tmp_path / "shards")
+    meta = write_shard_files(blooms, d)  # first write: everything
+    assert len(meta) == 4
+    mtimes = {b: os.path.getmtime(p) for b, (_, _, p) in meta.items()}
+    # age the files so a rewrite is observable
+    for _, (_, _, p) in meta.items():
+        os.utime(p, (1, 1))
+    blooms[2].add_many(np.array([123456789], dtype=np.int64))
+    meta2 = write_shard_files(blooms, d, buckets={2})
+    assert len(meta2) == 4  # meta still covers every shard
+    for b, (_, _, p) in meta2.items():
+        if b == 2:
+            assert os.path.getmtime(p) > 1
+        else:
+            assert os.path.getmtime(p) == 1, f"bucket {b} was rewritten"
+    # a missing file is written even when not in buckets (first touch)
+    os.remove(meta2[1][2])
+    meta3 = write_shard_files(blooms, d, buckets={2})
+    assert os.path.exists(meta3[1][2])

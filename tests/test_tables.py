@@ -126,3 +126,23 @@ def test_expire_snapshots_reclaims_superseded_dirs(spark, tmp_path):
     # version ids still never reused after expiry (HWM survives)
     v = _commit(spark, t, [9], 4)
     assert v > 4  # 5 snapshots existed before expiry
+
+
+def test_read_refuses_oplog_deltas(spark, tmp_path):
+    """ADVICE r3: op-log delta commits (frontier: op/delta_wave columns
+    beyond the base schema) must make read()/compact() fail loudly —
+    a naive union would surface del markers as data rows."""
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    base = spark.createDataFrame([(1, 0), (2, 0)], "x int, wave int")
+    t.commit(base, mode="overwrite", bucket={"by": ["x"], "n": 2, "sort": ["x"]},
+             lineage={"wave": 0})
+    ops = spark.createDataFrame(
+        [(1, 1, "del", 1)], "x int, wave int, op string, delta_wave int"
+    )
+    t.commit(ops, mode="append", lineage={"wave": 1})
+    with _pytest.raises(ValueError, match="op-log"):
+        t.read(spark)
+    with _pytest.raises(ValueError, match="op-log"):
+        t.compact(spark, {"by": ["x"], "n": 2, "sort": ["x"]})
