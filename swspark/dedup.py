@@ -268,12 +268,22 @@ def simhash_pairs(
     pigeonhole, any pair within the distance agrees on at least one
     full band, so a band-equality join finds all of them without n^2.
     """
-    n_bands = max_hamming + 1
-    width = 64 // n_bands
     sims = docs.select(
         F.col(id_col).alias("id"), simhash64_fast(F.col(text_col)).alias("sim")
     ).persist()  # compute the sketch once for both self-join sides;
     # the cache is released by ContextCleaner when the plan is GC'd
+    return simhash_pairs_from_sketches(sims, max_hamming)
+
+
+def simhash_pairs_from_sketches(
+    sims: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Pigeonhole band blocking over precomputed (id, sim) sketches —
+    the sketch-level half of :func:`simhash_pairs`, separable so
+    planted-perturbation oracles can flip known sketch bits and assert
+    exact recovered distances."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
     mask = (1 << width) - 1
     band_keys = F.array(
         *[

@@ -343,21 +343,30 @@ def crawl(
         budgets_dim = rules_table.select(F.col("host"), "crawl_delay")
         if config.error_backoff_window is not None and state.errors.exists():
             # hosts that erred recently yield budget (AIMD-style):
-            # k = #error-waves in the window, budget -> budget / 2^k
+            # k = #error-waves in the window, budget -> budget / 2^k.
+            # read_wave_range prunes the read to the window's data dirs
+            # via commit lineage — at 10^4 waves the old whole-table
+            # read globbed every per-wave error dir every wave
             w0 = wave - config.error_backoff_window
-            err_hosts = (
-                state.errors.read(spark)
-                .where(
-                    (F.col("stage") == "download")
-                    & (F.col("wave") >= w0) & (F.col("wave") < wave)
+            err_window = state.errors.read_wave_range(spark, w0, wave)
+            if err_window is not None:
+                err_hosts = (
+                    err_window
+                    .where(F.col("stage") == "download")
+                    .select(
+                        urlnorm.url_host(F.col("url")).alias("host"), "wave"
+                    )
+                    .distinct()
+                    .groupBy("host")
+                    .agg(
+                        F.least(F.count(F.lit(1)), F.lit(4))
+                        .cast("int")
+                        .alias("backoff_k")
+                    )
                 )
-                .select(urlnorm.url_host(F.col("url")).alias("host"), "wave")
-                .distinct()
-                .groupBy("host")
-                .agg(F.least(F.count(F.lit(1)), F.lit(4)).cast("int").alias("backoff_k"))
-            )
-            # full outer: hosts with errors but no robots entry still back off
-            budgets_dim = budgets_dim.join(err_hosts, "host", "full")
+                # full outer: hosts with errors but no robots entry
+                # still back off
+                budgets_dim = budgets_dim.join(err_hosts, "host", "full")
         scheduled = schedule_wave(
             frontier,
             budgets_dim,

@@ -413,6 +413,58 @@ class SnapshotTable:
             v = m.get("parent")
         return None
 
+    def read_wave_range(
+        self, spark: SparkSession, w0: int, w1: int, key: str = "wave"
+    ) -> DataFrame | None:
+        """Read ONLY the rows committed for waves in [w0, w1) — the
+        multi-wave generalization of :meth:`read_wave` (VERDICT r3 #3:
+        the error-backoff query). One manifest-chain walk collects each
+        in-range append commit's own data dirs; waves folded into a
+        compacted base come from the base with a partition-pruned
+        filter. At 10^4 waves this touches the window's dirs only,
+        never a whole-table glob. Returns None when nothing matches."""
+        dirs: list[str] = []
+        base: DataFrame | None = None
+        v = self.current_version()
+        while v is not None:
+            m = self._manifest_or_none(v)
+            if m is None:
+                break
+            w = m.get("lineage", {}).get(key)
+            if m["mode"] == "append" and w is not None and w0 <= w < w1:
+                parent = m.get("parent")
+                pdirs = (
+                    set(self.manifest(parent)["data_dirs"])
+                    if parent is not None
+                    else set()
+                )
+                dirs.extend(d for d in m["data_dirs"] if d not in pdirs)
+            if "bucket" in m:
+                covered = m.get("lineage", {}).get("compacted_through")
+                if covered is not None and w0 <= covered:
+                    base = self.read_bucketed(spark, m["version"]).where(
+                        (F.col(key) >= w0) & (F.col(key) < w1)
+                    )
+                break
+            if m["mode"] == "overwrite":
+                break  # pre-overwrite ancestry is dead data
+            v = m.get("parent")
+        parts: list[DataFrame] = []
+        if dirs:
+            parts.append(
+                spark.read.parquet(
+                    *[os.path.join(self.root, d) for d in dirs]
+                )
+            )
+        if base is not None:
+            parts.append(base.select(parts[0].columns) if parts else base)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def compact(
         self,
         spark: SparkSession,

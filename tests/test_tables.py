@@ -146,3 +146,36 @@ def test_read_refuses_oplog_deltas(spark, tmp_path):
         t.read(spark)
     with _pytest.raises(ValueError, match="op-log"):
         t.compact(spark, {"by": ["x"], "n": 2, "sort": ["x"]})
+
+
+def test_read_wave_range_prunes_to_window(spark, tmp_path):
+    """VERDICT r3 #3: the error-backoff read must touch only the
+    window's data dirs — read_wave_range([w0, w1)) collects in-range
+    append dirs plus a partition-filtered base slice, never a
+    whole-table glob."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for w in range(6):
+        _commit(spark, t, [10 * w, 10 * w + 1], w)
+
+    rng = t.read_wave_range(spark, 2, 4)
+    assert sorted(r.x for r in rng.collect()) == [20, 21, 30, 31]
+    # IO gate: exactly the two in-range dirs are scanned
+    files = rng.inputFiles()
+    waves_touched = {f.split("/data/")[1].split("/")[0] for f in files}
+    assert len(waves_touched) == 2, waves_touched
+
+    # empty window
+    assert t.read_wave_range(spark, 90, 95) is None
+
+    # window straddling a compaction boundary: base slice (partition-
+    # pruned) + post-compaction delta dirs
+    B = {"by": ["x"], "n": 2, "sort": ["x"], "partition": ["wave"]}
+    t.compact(spark, B, lineage={"wave": 5, "compacted_through": 5})
+    _commit(spark, t, [60, 61], 6)
+    _commit(spark, t, [70, 71], 7)
+    rng2 = t.read_wave_range(spark, 5, 7)
+    assert sorted(r.x for r in rng2.collect()) == [50, 51, 60, 61]
+    plan = rng2._sc._jvm.PythonSQLUtils.explainString(
+        rng2._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan  # base side is partition-pruned
