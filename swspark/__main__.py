@@ -130,7 +130,9 @@ def cmd_scrap(args) -> int:
         pages = read_pages_parquet(spark, args.pages).select("url", "html")
     elif args.file:
         with open(args.file, "rb") as fh:
-            pages = single_page(spark, args.file, fh.read())
+            # a --file page is a PATH location (sws-lua scraper.rs:269)
+            pages = single_page(spark, args.file, fh.read(),
+                                location_kind="PATH")
     else:
         print("one of --glob / --pages / --file is required", file=sys.stderr)
         return 2

@@ -41,25 +41,62 @@ EXTRACT_RESULT_TYPE = StructType(
 )
 
 
+class PageLocation:
+    """Where a page came from — the reference's PageLocation enum
+    (scrapable.rs:117-121) with the Lua accessor surface
+    (interop.rs:145-179): ``kind`` is URL or PATH, ``get()`` returns
+    the url string resp. the canonicalized filesystem path."""
+
+    URL = "URL"
+    PATH = "PATH"
+    __slots__ = ("kind", "_value")
+
+    def __init__(self, kind: str, value: str):
+        self.kind = kind
+        self._value = value
+
+    def get(self) -> str:  # interop.rs:166-176
+        if self.kind == self.PATH:
+            import os
+
+            v = self._value
+            if v.startswith("file:"):  # binaryFile sources emit URIs
+                from urllib.parse import unquote, urlparse
+
+                v = unquote(urlparse(v).path)
+            return os.path.realpath(v)
+        return self._value
+
+
 class ScrapingContext:
     """Per-call scraping context — the reference's Lua context surface
     (interop.rs:231-274, 309-329): ``workerId()`` is the executor task
-    slot processing the page (Spark partition id ≙ worker index) and
+    slot processing the page (Spark partition id ≙ worker index),
     ``robot()`` is the host's parsed robots handle (None unless the
-    caller joined the rules-as-data column onto the pages)."""
+    caller joined the rules-as-data column onto the pages), and
+    ``location()`` distinguishes crawled URLs from glob-sourced files
+    (scrapable.rs:104-106; sws-lua scraper.rs:269 builds a Path
+    location for `sws scrap --files`)."""
 
-    __slots__ = ("url", "_worker_id", "_robot")
+    __slots__ = ("url", "_worker_id", "_robot", "_location")
 
-    def __init__(self, url: str, worker_id: int, robot=None):
+    def __init__(self, url: str, worker_id: int, robot=None,
+                 location_kind: str = PageLocation.URL):
         self.url = url
         self._worker_id = worker_id
         self._robot = robot
+        self._location = PageLocation(
+            location_kind or PageLocation.URL, url
+        )
 
     def worker_id(self) -> int:  # interop.rs:309-315
         return self._worker_id
 
     def robot(self):  # interop.rs:325-329
         return self._robot
+
+    def location(self) -> PageLocation:  # scrapable.rs:104-106
+        return self._location
 
 
 def spec_wants_context(spec: ExtractionSpec | str) -> bool:
@@ -88,7 +125,7 @@ def make_extract_udf(spec: ExtractionSpec | str):
     scrap = spec.scrap_page
     wants_ctx = spec_wants_context(spec)
 
-    def _run_batch(url, html, rules=None):
+    def _run_batch(url, html, rules=None, loc_kind=None):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
@@ -97,7 +134,10 @@ def make_extract_udf(spec: ExtractionSpec | str):
 
         records_out, urls_out, errors_out = [], [], []
         rules_iter = rules if rules is not None else [None] * len(url)
-        for u, h, rl in zip(url, html, rules_iter):
+        kind_iter = (
+            loc_kind if loc_kind is not None else [None] * len(url)
+        )
+        for u, h, rl, lk in zip(url, html, rules_iter, kind_iter):
             try:
                 if h is None:
                     raise ValueError("null html")
@@ -105,7 +145,9 @@ def make_extract_udf(spec: ExtractionSpec | str):
                 if wants_ctx:
                     robot = compile_raw_rules(rl) if rl is not None else None
                     recs, urls = scrap(
-                        doc, u, ScrapingContext(u, worker_id, robot)
+                        doc, u,
+                        ScrapingContext(u, worker_id, robot,
+                                        location_kind=lk),
                     )
                 else:
                     recs, urls = scrap(doc, u)
@@ -123,9 +165,9 @@ def make_extract_udf(spec: ExtractionSpec | str):
     if wants_ctx:
 
         @F.pandas_udf(EXTRACT_RESULT_TYPE)
-        def extract(url: pd.Series, html: pd.Series,
-                    rules: pd.Series) -> pd.DataFrame:
-            return _run_batch(url, html, rules)
+        def extract(url: pd.Series, html: pd.Series, rules: pd.Series,
+                    loc_kind: pd.Series) -> pd.DataFrame:
+            return _run_batch(url, html, rules, loc_kind)
 
     elif spec.name == "fulltext" and spec.scrap_page is _FULLTEXT_SCRAP:
         # fast path: whole-document inner_text needs no DOM at all —
@@ -175,15 +217,21 @@ def apply_extraction(df, spec: ExtractionSpec | str, url_col: str = "url",
     if spec_wants_context(spec):
         # ctx.robot() reads the host's rules-as-data column when the
         # caller joined it (swspark.robots.build_robots_rules_table);
-        # otherwise the context carries robot=None
+        # otherwise the context carries robot=None. ctx.location()
+        # reads the source-stamped location_kind column (glob/WARC
+        # sources stamp PATH; crawled pages default to URL).
         rules_col = (
             F.col("rules") if "rules" in df.columns
             else F.lit(None).cast(
                 "array<struct<allow:boolean,pattern:string>>"
             )
         )
+        kind_col = (
+            F.col("location_kind") if "location_kind" in df.columns
+            else F.lit(None).cast("string")
+        )
         base = df.withColumn(
-            "_ex", udf(F.col(url_col), F.col(html_col), rules_col)
+            "_ex", udf(F.col(url_col), F.col(html_col), rules_col, kind_col)
         )
     else:
         base = df.withColumn("_ex", udf(F.col(url_col), F.col(html_col)))

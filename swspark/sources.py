@@ -51,13 +51,25 @@ def read_html_glob(spark: SparkSession, pattern: str) -> DataFrame:
     else:
         load_path = pattern
     df = reader.load(load_path)
+    # location_kind stamps the source for ctx.location(): glob pages
+    # are PATH locations (sws-lua scraper.rs:269), crawled pages URL
     return df.select(
-        F.col("path").alias("url"), F.col("content").alias("html")
+        F.col("path").alias("url"),
+        F.col("content").alias("html"),
+        F.lit("PATH").alias("location_kind"),
     )
 
 
-def single_page(spark: SparkSession, url: str, html: bytes | str) -> DataFrame:
-    """One-page source (A7) — the unit-test/debug path."""
+def single_page(
+    spark: SparkSession, url: str, html: bytes | str,
+    location_kind: str = "URL",
+) -> DataFrame:
+    """One-page source (A7) — the unit-test/debug path.
+    ``location_kind`` mirrors PageLocation::{Url, Path}: pass "PATH"
+    when ``url`` is a filesystem path (`sws scrap --files` analogue)."""
     if isinstance(html, str):
         html = html.encode()
-    return spark.createDataFrame([(url, bytearray(html))], "url string, html binary")
+    return spark.createDataFrame(
+        [(url, bytearray(html), location_kind)],
+        "url string, html binary, location_kind string",
+    )

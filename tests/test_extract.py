@@ -278,3 +278,48 @@ def test_matches_api(doc):
 def test_universal_selector(doc):
     td = first(doc.select("td"))
     assert len(list(select(td, "*"))) == 3
+
+
+def test_scraping_context_location_kind(tmp_path):
+    """VERDICT r3 gap 3: ctx.location() must distinguish glob-sourced
+    pages (PATH, canonicalized filesystem path — interop.rs:166-176)
+    from crawled pages (URL, the url string). Requires the spark
+    fixture; placed here with a lazy import to keep module scope light."""
+    import os
+
+    import pytest as _pytest
+
+    from swspark.extract.specs import ExtractionSpec
+    from swspark.extract.udf import apply_extraction
+    from swspark.session import get_spark
+    from swspark.sources import read_html_glob, single_page
+
+    spark = get_spark("swspark-tests", cores=8, shuffle_partitions=8)
+
+    def scrap(page, url, ctx):
+        loc = ctx.location()
+        return [[loc.kind, loc.get()]], []
+
+    spec = ExtractionSpec(
+        name="loctest", version=1,
+        accept_url=lambda u, k: True, scrap_page=scrap,
+        fields=("kind", "loc"),
+    )
+    d = tmp_path / "pages"
+    d.mkdir()
+    (d / "a.html").write_text("<html><body>hi</body></html>")
+    glob_pages = read_html_glob(spark, str(d / "*.html"))
+    rec, _, errs = apply_extraction(glob_pages, spec)
+    assert errs.count() == 0, errs.collect()
+    row = rec.collect()[0]
+    assert row.kind == "PATH"
+    assert row.loc == os.path.realpath(str(d / "a.html"))
+
+    # crawled/page-table source: URL kind, location() == the url
+    url = "https://ex.test/a"
+    rec2, _, errs2 = apply_extraction(
+        single_page(spark, url, "<html><body>hi</body></html>"), spec
+    )
+    assert errs2.count() == 0, errs2.collect()
+    row2 = rec2.collect()[0]
+    assert (row2.kind, row2.loc) == ("URL", url)
