@@ -113,12 +113,46 @@ def ngram_jaccard_pairs(
 
 def minhash_signature(text: Column, k: int = 64, n: int = 5) -> Column:
     """k-perm minhash signature as array<bigint>: for seed i, min over
-    shingles of xxhash64(shingle, i). Nested HOFs — fully JVM-side."""
+    shingles of xxhash64(shingle, i). Nested HOFs — fully JVM-side.
+    NOTE: reference semantics only — Catalyst's projection collapse
+    re-evaluates the shingle array per permutation, so this is O(k)
+    array builds per row; the production path is make_minhash_udf."""
     sh = char_shingles(text, n)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(F.transform(sh, lambda g: F.xxhash64(g, i))),
     )
+
+
+def make_minhash_udf(k: int = 64):
+    """Vectorized k-perm minhash from JVM shingle hashes (the
+    simhash64_fast pattern, measured ~40x at 10^6 docs): the shingle
+    set hashes ONCE JVM-side (xxhash64 per gram), then one Arrow batch
+    op derives all k permutations via multiply-shift universal hashing
+    sig_i = min_j (a_i * h_j + b_i mod 2^64), a_i odd — instead of k
+    codegen'd array_min(transform(...)) passes that each rebuild the
+    shingle array. Constants are fixed-seed so signatures are
+    engine-stable across sessions."""
+    rng = np.random.default_rng(0x5357)
+    a = (rng.integers(1, 2**62, size=k, dtype=np.uint64) << np.uint64(1)) | (
+        np.uint64(1)
+    )
+    b = rng.integers(0, 2**63, size=k, dtype=np.uint64)
+    sentinel = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def minhash_from_hashes(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(sentinel)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            m = (a[:, None] * hv[None, :] + b[:, None]).min(axis=1)
+            out.append(m.astype(np.int64))
+        return pd.Series(out)
+
+    return minhash_from_hashes
 
 
 def minhash_lsh_pairs(
@@ -129,6 +163,7 @@ def minhash_lsh_pairs(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    candidates_out: dict | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, Jaccard-verified.
 
@@ -142,10 +177,15 @@ def minhash_lsh_pairs(
     base = docs.select(
         F.col(id_col).alias("id"),
         char_shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("sig", F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(F.transform(F.col("sh"), lambda g: F.xxhash64(g, i))),
-    )).persist()
+    ).withColumn(
+        # JVM hashes each shingle once; one Arrow op derives all k
+        # permutations (see make_minhash_udf — the HOF variant paid an
+        # O(k) projection-collapse re-evaluation of the shingle array)
+        "sig",
+        make_minhash_udf(k)(
+            F.transform(F.col("sh"), lambda g: F.xxhash64(g))
+        ),
+    ).persist()
     # persist is load-bearing here (measured 24x): the banding join
     # and the Jaccard-verify join consume `base` under DIFFERENT keys,
     # so exchange reuse cannot kick in and the 64-permutation
@@ -169,6 +209,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+    if candidates_out is not None:
+        # scale-telemetry hook (tools/bench_dedup_scale.py): expose the
+        # pre-verification candidate set so the O(true dups) claim can
+        # be measured, not just argued from the banding construction
+        candidates_out["candidates"] = cand
     sh = base.select("id", "sh")
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "doc_a", "sh": "sh_a"}), "doc_a")
@@ -261,6 +306,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    candidates_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -272,11 +318,13 @@ def simhash_pairs(
         F.col(id_col).alias("id"), simhash64_fast(F.col(text_col)).alias("sim")
     ).persist()  # compute the sketch once for both self-join sides;
     # the cache is released by ContextCleaner when the plan is GC'd
-    return simhash_pairs_from_sketches(sims, max_hamming)
+    return simhash_pairs_from_sketches(sims, max_hamming,
+                                       candidates_out=candidates_out)
 
 
 def simhash_pairs_from_sketches(
-    sims: DataFrame, max_hamming: int = 3
+    sims: DataFrame, max_hamming: int = 3,
+    candidates_out: dict | None = None,
 ) -> DataFrame:
     """Pigeonhole band blocking over precomputed (id, sim) sketches —
     the sketch-level half of :func:`simhash_pairs`, separable so
@@ -306,6 +354,8 @@ def simhash_pairs_from_sketches(
         )
         .distinct()
     )
+    if candidates_out is not None:
+        candidates_out["candidates"] = pairs.select("doc_a", "doc_b")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         pairs.withColumn("hamming", hamming)

@@ -17,11 +17,22 @@ Reimplements the observable semantics of the reference's tree layer:
 - character references decoded at parse time except inside rawtext
   elements (html5 tokenizer behavior).
 
-Boundary vs html5ever (SURVEY.md §7 risk 1): full html5 tree
-construction (implied tags, foster parenting, active formatting
-reconstruction) is out of scope; equivalence is defined over
-well-formed documents, which the fixture corpus guarantees. Unclosed
-tags are recovered by popping to the nearest matching open tag.
+Tree construction follows the common html5 insertion rules (r4:
+matching html5ever on real-web implied-tag pages): html/head/body are
+implied when absent, `<p>`/`<li>`/`<dd>`/`<dt>`/headings auto-close per
+the spec's scoping rules, table context is normalized (implied
+`<tbody>`, `<tr>`/cells close the open row/cell, stray table tags
+outside a table are ignored), `</p>` with no open p inserts an empty
+one and `</br>` acts as `<br>` — see _build_tree. One deliberate
+deviation: character data is NEVER dropped or moved (html5ever
+ignores whitespace before <html>/<head> and foster-parents stray
+table text), so document-order text concatenation — the byte-identity
+target — is invariant across both tree paths and stream_fulltext.
+
+Remaining boundary vs html5ever (SURVEY.md §7 risk 1): foster
+parenting and active-formatting reconstruction (tree_sink.rs:13-228
+delegates both to html5ever's spec machinery). Unclosed tags are
+recovered by popping to the nearest matching open tag.
 """
 
 from __future__ import annotations
@@ -262,62 +273,40 @@ def _serialize(node: Node, out: list[str], in_rawtext: bool) -> None:
             _serialize(c, out, in_rawtext)
 
 
-class _TreeBuilder(HTMLParser):
+class _EventCollector(HTMLParser):
+    """stdlib fallback tokenizer: emit the same event tuples as
+    htmltok.tokenize so BOTH tokenizer paths build trees through the
+    one _build_tree (identical construction rules by construction)."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.root = Node(DOCUMENT)
-        self.stack: list[Node] = [self.root]
-        self.errors: list[str] = []
+        self.events: list[tuple] = []
 
     # html.parser lowercases tag and attribute names already.
-    def _make_element(self, tag: str, attrs: list[tuple[str, str | None]]) -> Node:
-        el = Node(ELEMENT, name=tag)
-        amap: dict[str, str] = {}
-        for k, v in attrs:
-            if k not in amap:  # first occurrence wins (html5 spec)
-                amap[k] = v if v is not None else ""
-        el.attrs = amap
-        el.id = amap.get("id")
-        cls = amap.get("class")
-        if cls:
-            el.classes = frozenset(cls.split())
-        return el
-
     def handle_starttag(self, tag: str, attrs) -> None:
-        el = self._make_element(tag, attrs)
-        self.stack[-1].append(el)
-        if tag not in VOID_ELEMENTS:
-            self.stack.append(el)
+        self.events.append(("s", tag, attrs))
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        self.stack[-1].append(self._make_element(tag, attrs))
+        self.events.append(("x", tag, attrs))
 
     def handle_endtag(self, tag: str) -> None:
-        # Recover from mismatched end tags: pop to the nearest matching
-        # open element; ignore the end tag if none is open.
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].name == tag:
-                del self.stack[i:]
-                return
-        self.errors.append(f"unmatched end tag </{tag}>")
+        self.events.append(("e", tag))
 
     def handle_data(self, data: str) -> None:
         if data:
-            self.stack[-1].append(Node(TEXT, text=data))
+            self.events.append(("d", data))
 
     def handle_comment(self, data: str) -> None:
-        self.stack[-1].append(Node(COMMENT, text=data))
+        self.events.append(("c", data))
 
     def handle_decl(self, decl: str) -> None:
-        # decl is e.g. "DOCTYPE html" — store the name part.
-        name = decl.split(None, 1)[1] if " " in decl else decl
-        self.stack[-1].append(Node(DOCTYPE, text=name))
+        self.events.append(("!", decl))
 
     def handle_pi(self, data: str) -> None:
-        self.stack[-1].append(Node(PI, text=data.rstrip("?")))
+        self.events.append(("?", data))
 
     def error(self, message: str) -> None:  # pragma: no cover
-        self.errors.append(message)
+        pass
 
 
 class _TextStream(HTMLParser):
@@ -353,16 +342,331 @@ def stream_fulltext(html: str | bytes) -> str:
     return "".join(ts.parts)
 
 
+# html5 tree-construction vocabulary (all sets straight from the
+# spec's "in body"/"in table" insertion modes — the rules html5ever's
+# TreeBuilder applies for the reference, tree_sink.rs:13-228):
+# start tags that close an open <p> in button scope
+_P_CLOSERS = frozenset(
+    "address article aside blockquote center details dialog dir div dl "
+    "fieldset figcaption figure footer form header hgroup hr listing "
+    "main menu nav ol p plaintext pre search section summary ul xmp "
+    "h1 h2 h3 h4 h5 h6 li dd dt table".split()
+)
+_HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+# "has X in button scope" stops at these (p auto-close boundary)
+_BUTTON_SCOPE_STOP = frozenset(
+    "applet caption html table td th marquee object template button".split()
+)
+_DEFAULT_SCOPE_STOP = frozenset(
+    "applet caption html table td th marquee object template".split()
+)
+# the spec's "special" category (li/dd/dt close-loop boundary)
+_SPECIAL_CAT = frozenset(
+    "address applet area article aside base basefont bgsound blockquote "
+    "body br button caption center col colgroup dd details dir div dl dt "
+    "embed fieldset figcaption figure footer form frame frameset h1 h2 h3 "
+    "h4 h5 h6 head header hgroup hr html iframe img input keygen li link "
+    "listing main marquee menu meta nav noembed noframes noscript object "
+    "ol p param plaintext pre script search section select source style "
+    "summary table tbody td template textarea tfoot th thead title tr "
+    "track ul wbr xmp".split()
+)
+# metadata content routed into the implied <head> before body opens
+_HEAD_ONLY = frozenset(
+    "base basefont bgsound link meta title style script noscript "
+    "noframes template".split()
+)
+_ROW_GROUPS = frozenset(("tbody", "thead", "tfoot"))
+_CELLS = frozenset(("td", "th"))
+# current-node names meaning "in table context, outside any cell"
+_TABLE_MODES = frozenset(
+    "table tbody thead tfoot tr caption colgroup".split()
+)
+_TABLE_TAGS = frozenset(
+    "table caption col colgroup tbody td tfoot th thead tr".split()
+)
+# start tags needing construction logic beyond append+push
+_SPECIAL_START = (
+    _P_CLOSERS
+    | _TABLE_TAGS
+    | frozenset(("html", "head", "body", "option", "optgroup", "button",
+                 "frame"))
+)
+_SPECIAL_END = frozenset(("p", "br", "body", "html", "head"))
+_WS = frozenset(" \t\n\r\f")  # html5 ASCII whitespace (NOT \xa0)
+
+
+def _make_element(name: str, attrs) -> Node:
+    el = Node(ELEMENT, name=name)
+    amap = el.attrs
+    for a, v in attrs:
+        if a not in amap:  # first occurrence wins (html5 spec)
+            amap[a] = v if v is not None else ""
+    el.id = amap.get("id")
+    cls = amap.get("class")
+    if cls:
+        el.classes = frozenset(cls.split())
+    return el
+
+
 def _build_tree(events) -> "tuple[Node, list[str]]":
-    """Tight event->tree loop (same construction rules as
-    _TreeBuilder, minus per-event method dispatch)."""
+    """Event -> tree with the common html5 insertion rules (the subset
+    real-web pages rely on; html5ever parity is pinned by
+    tests/test_html5_tree.py golden vectors):
+
+    - html/head/body implication: metadata tags fill an implied
+      <head>, anything else opens <body>; </body>/</html> leave body
+      current so trailing content still lands in body;
+    - <p> closes in button scope before any _P_CLOSERS start tag;
+      <li>/<dd>/<dt> close an open item (special-category loop);
+      a heading start tag pops a current heading;
+    - table normalization: <tr> under <table> implies <tbody>,
+      <td>/<th> under a row group implies <tr>, a new cell/row/row
+      group closes the open one, <col> implies <colgroup>, and table
+      structure tags OUTSIDE any table are ignored (in-body rule);
+    - <option>/<optgroup> close an open option; <button> closes an
+      open button; </p> with no open p inserts an empty one; </br>
+      acts as <br>.
+
+    Character data is never dropped or reordered (see module
+    docstring) — document-order text concat stays byte-identical to
+    stream_fulltext on every input."""
     root = Node(DOCUMENT)
     errors: list[str] = []
     stack = [root]
+    html_el: Node | None = None
+    head_el: Node | None = None
+    body_el: Node | None = None
+    head_open = False
+    head_reopened = False
+
+    def _insert(el: Node, push: bool) -> None:
+        top = stack[-1]
+        el.parent = top
+        top.children.append(el)
+        if push:
+            stack.append(el)
+
+    def _insert_into(parent: Node, el: Node) -> None:
+        el.parent = parent
+        parent.children.append(el)
+
+    def _ensure_html() -> None:
+        nonlocal html_el
+        if html_el is None:
+            html_el = Node(ELEMENT, name="html")
+            html_el.parent = root
+            root.children.append(html_el)
+            stack.append(html_el)
+
+    def _open_head(el: Node | None = None) -> None:
+        nonlocal head_el, head_open
+        _ensure_html()
+        if head_el is None:
+            head_el = el if el is not None else Node(ELEMENT, name="head")
+            head_el.parent = html_el
+            html_el.children.append(head_el)
+            stack.append(head_el)
+            head_open = True
+
+    def _ensure_body(el: Node | None = None) -> None:
+        nonlocal body_el, head_open
+        _ensure_html()
+        if head_el is None:
+            _open_head()
+        if head_open:
+            # pop the head (and anything left open inside it)
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is head_el:
+                    del stack[i:]
+                    break
+            head_open = False
+        if body_el is None:
+            body_el = el if el is not None else Node(ELEMENT, name="body")
+            body_el.parent = html_el
+            html_el.children.append(body_el)
+            stack.append(body_el)
+
+    def _close_p_in_button_scope() -> None:
+        for i in range(len(stack) - 1, 0, -1):
+            name = stack[i].name
+            if name == "p":
+                del stack[i:]
+                return
+            if name in _BUTTON_SCOPE_STOP:
+                return
+
+    def _close_listitem(kinds: frozenset) -> None:
+        # the spec's li/dd/dt loop: close an open item unless a
+        # special-category element (other than address/div/p)
+        # intervenes
+        for i in range(len(stack) - 1, 0, -1):
+            name = stack[i].name
+            if name in kinds:
+                del stack[i:]
+                return
+            if name in _SPECIAL_CAT and name not in ("address", "div", "p"):
+                return
+
+    def _nearest_table_index() -> int:
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].name == "table":
+                return i
+        return -1
+
+    def _pop_to_names(names: frozenset, floor: int) -> None:
+        # pop until the top is one of ``names``; never below ``floor``
+        while len(stack) - 1 > floor and stack[-1].name not in names:
+            stack.pop()
+
+    def _start_special(name: str, attrs, push: bool) -> None:
+        nonlocal head_open
+        if name == "html":
+            if html_el is None:
+                el = _make_element(name, attrs)
+                el.parent = root
+                root.children.append(el)
+                stack.append(el)
+                # bind the implied-structure pointers to the real tag
+                _bind_html(el)
+            return
+        if name == "head":
+            if head_el is None:
+                _ensure_html()
+                _open_head(_make_element(name, attrs))
+            return
+        if name == "body":
+            if body_el is None:
+                _ensure_body(_make_element(name, attrs))
+            return
+        if name == "frame":
+            return  # in-body: ignored
+        if body_el is None:
+            _ensure_body()
+        if name in _TABLE_TAGS and name != "table":
+            ti = _nearest_table_index()
+            if ti < 0:
+                errors.append(f"stray table tag <{name}> ignored")
+                return
+            if name == "tr":
+                _pop_to_names(_ROW_GROUPS | {"table"}, ti - 1)
+                if stack[-1].name == "table":
+                    _insert(Node(ELEMENT, name="tbody"), True)
+                _insert(_make_element(name, attrs), push)
+            elif name in _CELLS:
+                _pop_to_names(_ROW_GROUPS | {"table", "tr"}, ti - 1)
+                if stack[-1].name == "table":
+                    _insert(Node(ELEMENT, name="tbody"), True)
+                if stack[-1].name in _ROW_GROUPS:
+                    _insert(Node(ELEMENT, name="tr"), True)
+                _insert(_make_element(name, attrs), push)
+            elif name in _ROW_GROUPS or name in ("caption", "colgroup"):
+                _pop_to_names(frozenset(("table",)), ti - 1)
+                _insert(_make_element(name, attrs), push)
+            else:  # col
+                _pop_to_names(frozenset(("table", "colgroup")), ti - 1)
+                if stack[-1].name == "table":
+                    _insert(Node(ELEMENT, name="colgroup"), True)
+                _insert(_make_element(name, attrs), False)
+            return
+        if name in _P_CLOSERS:
+            if name == "li":
+                _close_listitem(frozenset(("li",)))
+            elif name in ("dd", "dt"):
+                _close_listitem(frozenset(("dd", "dt")))
+            elif name == "table" and stack[-1].name in _TABLE_MODES:
+                # in-table <table>: acts as </table> then reprocess —
+                # sibling tables, never table-in-table (unless in a cell)
+                ti = _nearest_table_index()
+                if ti > 0:
+                    del stack[ti:]
+            _close_p_in_button_scope()
+            if name in _HEADINGS and stack[-1].name in _HEADINGS:
+                stack.pop()  # a heading closes a current heading
+            _insert(_make_element(name, attrs), push)
+            return
+        if name == "option":
+            if stack[-1].name == "option":
+                stack.pop()
+            _insert(_make_element(name, attrs), push)
+            return
+        if name == "optgroup":
+            if stack[-1].name == "option":
+                stack.pop()
+            if stack[-1].name == "optgroup":
+                stack.pop()
+            _insert(_make_element(name, attrs), push)
+            return
+        if name == "button":
+            for i in range(len(stack) - 1, 0, -1):
+                nm = stack[i].name
+                if nm == "button":
+                    del stack[i:]
+                    break
+                if nm in _DEFAULT_SCOPE_STOP:
+                    break
+            _insert(_make_element(name, attrs), push)
+            return
+        _insert(_make_element(name, attrs), push)  # pragma: no cover
+
+    def _bind_html(el: Node) -> None:
+        nonlocal html_el
+        html_el = el
+
+    def _end_special(tag: str) -> None:
+        nonlocal head_open
+        if tag == "p":
+            for i in range(len(stack) - 1, 0, -1):
+                name = stack[i].name
+                if name == "p":
+                    del stack[i:]
+                    return
+                if name in _BUTTON_SCOPE_STOP:
+                    break
+            # </p> with no open p: acts as <p></p> (in-body rule)
+            if body_el is None:
+                _ensure_body()
+            _insert(Node(ELEMENT, name="p"), False)
+            return
+        if tag == "br":  # </br> acts as <br>
+            if body_el is None:
+                _ensure_body()
+            _insert(Node(ELEMENT, name="br"), False)
+            return
+        if tag in ("body", "html"):
+            # content after </body>/</html> still belongs to body
+            if body_el is None:
+                _ensure_body()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is body_el:
+                    del stack[i + 1:]
+                    return
+            return
+        # tag == "head"
+        if head_open:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is head_el:
+                    del stack[i:]
+                    break
+            head_open = False
+        elif head_el is None:
+            _open_head()  # </head> implies an (empty) head...
+            stack.pop()  # ...which closes immediately
+            head_open = False
+
     for ev in events:
         k = ev[0]
         if k == "d":
             top = stack[-1]
+            if body_el is None and (
+                top is root or top is html_el or top is head_el
+            ):
+                data = ev[1]
+                if all(c in _WS for c in data):
+                    pass  # whitespace may sit at the current level
+                else:
+                    _ensure_body()
+                    top = stack[-1]
             ch = top.children
             if ch and ch[-1].kind == TEXT:
                 ch[-1].text += ev[1]
@@ -371,28 +675,44 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
                 node.parent = top
                 ch.append(node)
         elif k == "s" or k == "x":
-            el = Node(ELEMENT, name=ev[1])
-            amap = el.attrs
-            for a, v in ev[2]:
-                if a not in amap:  # first occurrence wins (html5 spec)
-                    amap[a] = v if v is not None else ""
-            el.id = amap.get("id")
-            cls = amap.get("class")
-            if cls:
-                el.classes = frozenset(cls.split())
-            top = stack[-1]
-            el.parent = top
-            top.children.append(el)
-            if k == "s" and ev[1] not in VOID_ELEMENTS:
-                stack.append(el)
+            name = ev[1]
+            push = k == "s" and name not in VOID_ELEMENTS
+            if name in _SPECIAL_START:
+                _start_special(name, ev[2], push)
+                continue
+            if body_el is None:
+                top = stack[-1]
+                if top is root or top is html_el or top is head_el:
+                    if name in _HEAD_ONLY:
+                        if head_el is not None and not head_open:
+                            # after-head metadata: the spec pushes the
+                            # head back, processes in-head, pops it
+                            if push:
+                                stack.append(head_el)
+                                head_reopened = True
+                            else:
+                                _insert_into(head_el,
+                                             _make_element(name, ev[2]))
+                                continue
+                        else:
+                            _open_head()
+                    else:
+                        _ensure_body()
+            _insert(_make_element(name, ev[2]), push)
         elif k == "e":
             tag = ev[1]
+            if tag in _SPECIAL_END:
+                _end_special(tag)
+                continue
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].name == tag:
                     del stack[i:]
                     break
             else:
                 errors.append(f"unmatched end tag </{tag}>")
+            if head_reopened and stack[-1] is head_el:
+                stack.pop()
+                head_reopened = False
         elif k == "c":
             stack[-1].append(Node(COMMENT, text=ev[1]))
         elif k == "!":
@@ -424,18 +744,20 @@ class Html:
             html = bytes(html).decode("utf-8", errors="replace")
         # fast tokenizer (event-identical to html.parser; differential-
         # fuzzed in tests) — a None return means the document hit a
-        # construct only stdlib handles, so reparse with html.parser
+        # construct only stdlib handles, so retokenize with html.parser.
+        # BOTH paths build through the same _build_tree, so the html5
+        # insertion rules apply identically whatever tokenized.
         evs = _fast_tokenize(html)
-        if evs is not None:
-            root, errors = _build_tree(evs)
-            return cls(root, errors)
-        tb = _TreeBuilder()
-        try:
-            tb.feed(html)
-            tb.close()
-        except Exception as exc:  # never fatal
-            tb.errors.append(str(exc))
-        return cls(tb.root, tb.errors)
+        if evs is None:
+            ec = _EventCollector()
+            try:
+                ec.feed(html)
+                ec.close()
+            except Exception:  # never fatal (html/mod.rs:19-22)
+                pass
+            evs = ec.events
+        root, errors = _build_tree(evs)
+        return cls(root, errors)
 
     def select(self, selector_str: str):
         from swspark.extract.selectors import select

@@ -147,7 +147,12 @@ def test_stream_fulltext_property():
 
     tagish = st.sampled_from(
         ["<div>", "</div>", "<script>", "</script>", "<b ", ">", "<",
-         "&amp;", "&", "<!--", "-->", "<br/>", "text ", "\n", "<p id='x'>"]
+         "&amp;", "&", "<!--", "-->", "<br/>", "text ", "\n", "<p id='x'>",
+         # r4 implied-tag construction paths: text must survive every
+         # auto-close / implication / ignore rule untouched
+         "<li>", "<td>", "<tr>", "<table>", "</table>", "</p>", "<ul>",
+         "<option>", "<head>", "</head>", "<body>", "</body>", "<h1>",
+         "<dd>", "<dt>", "<tbody>", "</br>", "<button>", "<meta>"]
     )
     docs = st.lists(st.one_of(tagish, st.text(max_size=8)), max_size=30).map(
         "".join

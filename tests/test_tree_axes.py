@@ -70,9 +70,11 @@ def test_iter_descendants_preorder(nested):
 
 
 def test_iter_ancestors():
+    # r4: parse_document implies html/body around fragments (html5
+    # tree construction, like html5ever) — they appear as ancestors
     d = next(build("<a><b><c><d></d></c></b></a>").select("d"))
     got = [n.name for n in d.ancestors() if n.name]
-    assert got == ["c", "b", "a"]
+    assert got == ["c", "b", "a", "body", "html"]
 
 
 def test_iter_prev_siblings(flat):
