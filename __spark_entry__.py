@@ -366,6 +366,54 @@ FROM documents WHERE doc_id < 60
 """
 
 
+def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash pair mining (the measured 10^6+ scale path —
+    32-bit bands cut incidental collisions by 2^16; see
+    dedup.simhash_pairs_wide), oracle-checked like simhash_pairs:
+    twins flip k = doc_id%3 + 1 distinct positions of the 128-bit
+    sketch ((11*doc_id + i) % 128 — word p//64, bit p%64), pigeonhole
+    over 4x32-bit bands guarantees recovery, and the summed bit_count
+    returns exactly k."""
+    from swspark.dedup import char_shingles, make_simhash_udf
+    from swspark.dedup import simhash_pairs_wide_from_sketches
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    sh = char_shingles(F.col("text"))
+    udf = make_simhash_udf()
+    sims = docs.select(
+        F.col("doc_id").alias("id"),
+        udf(F.transform(sh, lambda g: F.xxhash64(g))).alias("s0"),
+        udf(F.transform(sh, lambda g: F.xxhash64(g, F.lit(1)))).alias("s1"),
+    ).persist()
+
+    def flips(word: int) -> str:
+        # XOR of the flipped bits landing in this word
+        return (
+            f"aggregate(filter(sequence(0, CAST(id % 3 AS INT)), "
+            f"i -> CAST((id * 11 + i) % 128 DIV 64 AS INT) = {word}), "
+            "CAST(0 AS BIGINT), (a, i) -> a ^ shiftleft(CAST(1 AS BIGINT), "
+            "CAST((id * 11 + i) % 64 AS INT)))"
+        )
+
+    twins = sims.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.expr(f"s0 ^ {flips(0)}").alias("s0"),
+        F.expr(f"s1 ^ {flips(1)}").alias("s1"),
+    )
+    pairs = simhash_pairs_wide_from_sketches(sims.unionByName(twins))
+    return pairs.where(F.col("doc_b") - F.col("doc_a") == 1000000).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+SQL_SIMHASH_WIDE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_a,
+       CAST(doc_id + 1000000 AS BIGINT) AS doc_b,
+       CAST(doc_id % 3 + 1 AS INTEGER) AS hamming
+FROM documents WHERE doc_id < 60
+"""
+
+
 def q_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash recall contract: all 20 planted exact-duplicate pairs
     (doc_id, doc_id+1e6) must be recovered at Hamming distance 0 —
@@ -953,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_wide": q_simhash_wide,
         "simhash_planted": q_simhash_planted,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -999,4 +1048,5 @@ def oracle_sql() -> dict[str, str]:
         "frontier_oplog": SQL_FRONTIER_OPLOG,
         "simhash_planted": SQL_SIMHASH_PLANTED,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "simhash_wide": SQL_SIMHASH_WIDE,
     }

@@ -362,3 +362,71 @@ def simhash_pairs_from_sketches(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_pairs_wide(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates_out: dict | None = None,
+) -> DataFrame:
+    """128-bit SimHash near-dup pairs at Hamming <= 3 — the 10^6+ scale
+    path (measured, tools/bench_dedup_scale.py): the 64-bit sketch's
+    pigeonhole bands are only 16 bits wide, so incidental band
+    collisions grow ~ 4 x n^2 / 2^16 and the candidate set saturates
+    around 10^6 docs. Two independent 64-bit sketches (seeded shingle
+    hashes -> same numpy bit-vote) give 4 bands of 32 bits: collisions
+    shrink by 2^16 while pigeonhole recall stays exact (3 flips can
+    touch at most 3 of 4 bands). Hamming distance is over all 128
+    hyperplanes, so <= 3 is a proportionally stricter similarity
+    threshold than the 64-bit operator's.
+    """
+    sh = char_shingles(F.col(text_col))
+    h0 = F.transform(sh, lambda g: F.xxhash64(g))
+    h1 = F.transform(sh, lambda g: F.xxhash64(g, F.lit(1)))
+    udf = make_simhash_udf()
+    sims = docs.select(
+        F.col(id_col).alias("id"), udf(h0).alias("s0"), udf(h1).alias("s1")
+    ).persist()
+    return simhash_pairs_wide_from_sketches(sims, candidates_out)
+
+
+def simhash_pairs_wide_from_sketches(
+    sims: DataFrame, candidates_out: dict | None = None
+) -> DataFrame:
+    """Banding half of :func:`simhash_pairs_wide` over precomputed
+    (id, s0, s1) sketch pairs (separable for planted-bit oracles)."""
+    mask = (1 << 32) - 1
+
+    def band(b: int) -> Column:
+        w = F.col("s0") if b < 2 else F.col("s1")
+        return F.shiftrightunsigned(w, (b % 2) * 32).bitwiseAND(F.lit(mask))
+
+    banded = sims.select(
+        "id", "s0", "s1",
+        F.posexplode(F.array(*[band(b) for b in range(4)])).alias(
+            "band", "key"
+        ),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.s0").alias("s0a"), F.col("a.s1").alias("s1a"),
+            F.col("b.s0").alias("s0b"), F.col("b.s1").alias("s1b"),
+        )
+        .distinct()
+    )
+    if candidates_out is not None:
+        candidates_out["candidates"] = pairs.select("doc_a", "doc_b")
+    hamming = F.bit_count(
+        F.col("s0a").bitwiseXOR(F.col("s0b"))
+    ) + F.bit_count(F.col("s1a").bitwiseXOR(F.col("s1b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -418,3 +418,27 @@ def select(root: Node, selector: "Selector | str"):
     for el in root.descendant_elements():
         if any(_match_complex(el, cx, 0, root) for cx in selector.complexes):
             yield el
+
+
+def select_first_multi(
+    root: Node, selectors: "tuple[str, ...]"
+) -> "list[Node | None]":
+    """FIRST match (document order) for each of several selectors in
+    ONE pre-order traversal — identical results to
+    [next(select(root, s), None) for s in selectors] (pinned by
+    tests), but a spec extracting k fields per section pays one
+    subtree walk instead of k. Stops early once every selector has
+    matched (the common case: one hit per field per section)."""
+    sels = [Selector.parse(s) for s in selectors]
+    found: list[Node | None] = [None] * len(sels)
+    remaining = len(sels)
+    for el in root.descendant_elements():
+        for i, sel in enumerate(sels):
+            if found[i] is None and any(
+                _match_complex(el, cx, 0, root) for cx in sel.complexes
+            ):
+                found[i] = el
+                remaining -= 1
+                if not remaining:
+                    return found
+    return found

@@ -349,8 +349,11 @@ def format_date(ymd: tuple[int, int, int], fmt: str) -> str:
     return "".join(out)
 
 
+@functools.lru_cache(maxsize=65536)
 def sws_date(s: str, in_fmt: str, out_fmt: str) -> str:
-    """sws.Date(s, in_fmt):format(out_fmt) (interop.rs:204-222)."""
+    """sws.Date(s, in_fmt):format(out_fmt) (interop.rs:204-222).
+    Pure string->string, so memoized — corpus date strings repeat
+    heavily (a few years of days across millions of pages)."""
     return format_date(parse_date(s, in_fmt), out_fmt)
 
 
@@ -396,17 +399,24 @@ def _squash_newlines(s: str) -> str:
 
 
 def _urbandict_scrap(page: Html, url: str) -> tuple[Records, Urls]:
+    from swspark.extract.selectors import select_first_multi
+
     records: Records = []
     # enumerate() is 1-based in the Lua surface.
     for def_index, d in enumerate(page.select("section .definition"), start=1):
-        from swspark.extract.selectors import select
-
-        word_el = _first(select(d, "h1 a.word")) or _first(select(d, "h2 a.word"))
+        # one subtree walk for all five field selectors (r4 perf:
+        # identical first-match semantics, pinned by golden tests)
+        word_h1, word_h2, contributor, meaning_el, example_el = (
+            select_first_multi(
+                d, ("h1 a.word", "h2 a.word", ".contributor",
+                    ".meaning", ".example"),
+            )
+        )
+        word_el = word_h1 or word_h2
         if word_el is None:
             continue  # goto continue — urbandict.lua:19-21
         word = word_el.inner_html()
 
-        contributor = _first(select(d, ".contributor"))
         if contributor is None:
             continue
         m = _AFTER_CLOSING_A.match(contributor.inner_html())
@@ -414,8 +424,6 @@ def _urbandict_scrap(page: Html, url: str) -> tuple[Records, Urls]:
             continue
         date = sws_date(m.group(1), "%B %d, %Y", "%Y-%m-%d")
 
-        meaning_el = _first(select(d, ".meaning"))
-        example_el = _first(select(d, ".example"))
         if meaning_el is None or example_el is None:
             continue
         meaning = _squash_newlines(meaning_el.inner_text())

@@ -328,3 +328,13 @@ def test_scraping_context_location_kind(tmp_path):
     assert errs2.count() == 0, errs2.collect()
     row2 = rec2.collect()[0]
     assert (row2.kind, row2.loc) == ("URL", url)
+
+
+def test_select_first_multi_equals_sequential(doc):
+    from swspark.extract.selectors import select, select_first_multi
+
+    sels = ("h1 a", ".definition", "td a:last-of-type", "nosuch", "#s1")
+    multi = select_first_multi(doc.root, sels)
+    seq = [next(iter(select(doc.root, s)), None) for s in sels]
+    assert multi == seq
+    assert multi[3] is None and multi[0] is not None

@@ -338,3 +338,32 @@ def test_multimodal_meta_plans(spark):
     }
     got_counts = pdf.groupby("media_id").size().to_dict()
     assert got_counts == exp_counts
+
+
+def test_simhash_wide_pairs(spark):
+    """128-bit simhash (the measured scale path): exact copies recover
+    at Hamming 0; flipping k sketch bits across the two words recovers
+    at exactly k (pigeonhole over 4x32-bit bands)."""
+    from pyspark.sql import functions as F
+
+    from swspark.dedup import simhash_pairs_wide, simhash_pairs_wide_from_sketches
+
+    base = " ".join(
+        f"para {i} the quick brown fox jumps over the lazy dog"
+        for i in range(40)
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, "completely different tiny text")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_pairs_wide(docs).collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) not in got and (1, 2) not in got
+
+    sims = spark.createDataFrame(
+        [(0, 7, -9), (1, 7 ^ (1 << 5), -9 ^ (1 << 62))],  # 2 flips
+        "id long, s0 long, s1 long",
+    )
+    pairs = simhash_pairs_wide_from_sketches(sims).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 1, 2)]

@@ -114,10 +114,40 @@ def probe_simhash(spark, n: int, max_hamming: int = 3) -> dict:
     }
 
 
+def probe_simhash_wide(spark, n: int) -> dict:
+    from swspark.dedup import simhash_pairs_wide
+
+    docs = synth_docs(spark, n, exact_dups=True)
+    out: dict = {}
+    t0 = time.perf_counter()
+    pairs = simhash_pairs_wide(docs, candidates_out=out)
+    cand = out["candidates"].persist()
+    n_cand = cand.count()
+    t_cand = time.perf_counter() - t0
+    p = pairs.persist()
+    n_pairs = p.count()
+    planted_found = p.where(
+        (F.col("doc_b") - F.col("doc_a") == 1) & (F.col("doc_b") % 100 == 1)
+    ).count()
+    t_total = time.perf_counter() - t0
+    true_planted = (n - 2) // 100 + 1 if n > 1 else 0
+    cand.unpersist()
+    p.unpersist()
+    return {
+        "op": "simhash_wide_h3", "n_docs": n, "candidates": n_cand,
+        "recovered_pairs": n_pairs, "planted_found": planted_found,
+        "true_planted": true_planted,
+        "recall": round(planted_found / max(1, true_planted), 4),
+        "cand_per_true_dup": round(n_cand / max(1, true_planted), 2),
+        "sec_candidates": round(t_cand, 1), "sec_total": round(t_total, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1000000,10000000")
     ap.add_argument("--simhash-sizes", default="1000000,3000000")
+    ap.add_argument("--simhash-wide-sizes", default="")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default=None, help="append JSONL here")
@@ -134,6 +164,10 @@ def main() -> None:
         results.append(r)
     for n in [int(s) for s in args.simhash_sizes.split(",") if s]:
         r = probe_simhash(spark, n)
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    for n in [int(s) for s in args.simhash_wide_sizes.split(",") if s]:
+        r = probe_simhash_wide(spark, n)
         print(json.dumps(r), flush=True)
         results.append(r)
     if args.out:

@@ -78,7 +78,19 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    argv = list(sys.argv[1:])
+    # --levels 8,16,32 folds the r3 local16-midpoint / local8-recheck
+    # probes in as first-class runs; --gate enforces the north rule's
+    # efficiency floor as a regression check (exit 1 below it)
+    levels = (8, 32)
+    if "--levels" in argv:
+        i = argv.index("--levels")
+        levels = tuple(int(x) for x in argv[i + 1].split(","))
+        del argv[i:i + 2]
+    gate = "--gate" in argv
+    if gate:
+        argv.remove("--gate")
+    n_urls = int(argv[0]) if argv else 10_000_000
     # >=7 reps so the MEDIAN estimator also clears the 0.8 bar with a
     # defensible sample (r2's 3-rep min-estimator was graded fragile)
     reps = int(os.environ.get("SCALING_REPS", "7"))
@@ -96,7 +108,7 @@ def main() -> None:
     out = {}
     steal = {}
     settle = {}
-    for i, cores in enumerate((8, 32)):
+    for i, cores in enumerate(levels):
         # canary-based settle (bench._settle): wait until a fixed
         # CPU-bound kernel stops improving — catches decaying load the
         # r2 loadavg-only wait let through
@@ -147,14 +159,29 @@ def main() -> None:
             "jvm_available_processors": data["jvm_available_processors"],
             "stages_cumulative_sec": data["stages_cumulative_sec"],
         }
+    lo, hi = min(levels), max(levels)
     for est in ("best", "median"):
-        t8 = summary["local8"][f"urls_per_sec_{est}"]
-        t32 = summary["local32"][f"urls_per_sec_{est}"]
-        summary[f"scaling_efficiency_{est}"] = round((t32 / t8) / (32 / 8), 3)
+        t_lo = summary[f"local{lo}"][f"urls_per_sec_{est}"]
+        t_hi = summary[f"local{hi}"][f"urls_per_sec_{est}"]
+        summary[f"scaling_efficiency_{est}"] = round(
+            (t_hi / t_lo) / (hi / lo), 3
+        )
     summary["scaling_efficiency"] = summary["scaling_efficiency_best"]
+    summary["levels"] = list(levels)
+    # north-rule regression gate: median efficiency over the lo->hi
+    # span must stay >= 0.8 (the r3-graded bar); --gate makes a
+    # regression fail loudly instead of silently shipping in a JSON
+    summary["gate_efficiency_median_ge_0.8"] = (
+        summary["scaling_efficiency_median"] >= 0.8
+    )
     print(json.dumps(summary, indent=2))
     with open("BENCH_SCALING.json", "w") as fh:
         json.dump(summary, fh, indent=2)
+    if gate and not summary["gate_efficiency_median_ge_0.8"]:
+        print("SCALING GATE FAILED: median efficiency "
+              f"{summary['scaling_efficiency_median']} < 0.8",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
