@@ -248,7 +248,7 @@ def schedule_wave(
     max_urls_per_wave: int | None = None,
     host_col: str = "host",
     pre_salt: int = 16,
-    preprune: bool = True,
+    preprune: bool = False,
     preprune_hot_min_rows: int = 100_000,
 ) -> DataFrame:
     """Select this wave's URLs: rank per host, cut at the politeness
@@ -298,7 +298,14 @@ def schedule_wave(
     if preprune:
         # hot-host pre-prune (r4): cut the rank's sort input to
         # ~budget-sized per host before the (host, salt) shuffle —
-        # no-op unless a host's pending count dwarfs its budget
+        # no-op unless a host's pending count dwarfs its budget.
+        # DEFAULT OFF after measurement (BENCH.md r4): on a single
+        # box the full-width shuffle is memory-bandwidth-efficient
+        # and the threshold passes cost as much as the sort they
+        # save (percentile variant measured 2x SLOWER at 100M).
+        # The exact over-keep machinery is kept for network-bound
+        # clusters, where a 10^10-row shuffle is the wire bottleneck
+        # the threshold passes avoid.
         base = preprune_hot_hosts(
             base, host_col, hot_min_rows=preprune_hot_min_rows
         )
