@@ -31,37 +31,47 @@ N_BOUNDS = 63
 SAMPLE_MOD = 2048
 
 
-def distributed_rank(spark, frontier):
+def distributed_rank(spark, frontier, n_buckets: int = 64):
+    """v2 (codegen probe): bucket on a numeric url key — the 4 bytes
+    at the host's common-prefix offset (monotone-coarse w.r.t. url
+    order; ties share a bucket) — via width_bucket over the host's
+    actual key range. Every per-row expression folds into whole-stage
+    codegen; the v1 HOF boundary filter ran interpreted (BENCH.md)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    sampled = (
-        F.pmod(F.xxhash64(F.col("url"), F.lit(99)), F.lit(SAMPLE_MOD)) == 0
+    from swspark.scheduler import _common_prefix_len
+
+    cp = frontier.groupBy("host").agg(
+        _common_prefix_len(F.min("url"), F.max("url")).alias("_cp")
     )
-    # per-host sorted sample -> ~N_BOUNDS evenly spaced boundary urls
-    bounds = (
-        frontier.groupBy("host")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.when(sampled, F.col("url")))
-            ).alias("_s")
-        )
-        .select(
-            "host",
-            F.expr(
-                f"transform(sequence(1, {N_BOUNDS}), i -> "
-                f"try_element_at(_s, greatest(1, CAST(i * size(_s) / "
-                f"{N_BOUNDS + 1} AS INT))))"
-            ).alias("_bounds"),
-        )
-        .withColumn("_bounds", F.expr("array_distinct(filter(_bounds, b -> b is not null))"))
+
+    def byte(i):
+        return F.least(
+            F.coalesce(
+                F.ascii(F.substring(F.col("url"), F.col("_cp") + i, 1)),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ).cast("long")
+
+    with_key = frontier.join(F.broadcast(cp), "host").withColumn(
+        "_uk",
+        byte(1) * F.lit(1 << 24) + byte(2) * F.lit(1 << 16)
+        + byte(3) * F.lit(256) + byte(4),
+    ).drop("_cp")
+    rng = with_key.groupBy("host").agg(
+        F.min("_uk").alias("_lo"), F.max("_uk").alias("_hi")
     )
-    keyed = frontier.join(F.broadcast(bounds), "host", "left").withColumn(
+    keyed = with_key.join(F.broadcast(rng), "host").withColumn(
         "_bkt",
         F.when(
-            F.col("_bounds").isNull(), F.lit(0)
-        ).otherwise(F.expr("size(filter(_bounds, b -> b < url))")),
-    ).drop("_bounds")
+            F.col("_hi") > F.col("_lo"),
+            F.expr(
+                f"width_bucket(_uk, _lo, _hi + 1, {n_buckets})"
+            ),
+        ).otherwise(F.lit(1)),
+    ).drop("_uk", "_lo", "_hi")
     counts = keyed.groupBy("host", "_bkt").count()
     woff = (
         Window.partitionBy("host")
