@@ -17,22 +17,29 @@ Reimplements the observable semantics of the reference's tree layer:
 - character references decoded at parse time except inside rawtext
   elements (html5 tokenizer behavior).
 
-Tree construction follows the common html5 insertion rules (r4:
-matching html5ever on real-web implied-tag pages): html/head/body are
+Tree construction follows the html5 insertion rules (r4 implied
+tags, r5 foster parenting + active formatting): html/head/body are
 implied when absent, `<p>`/`<li>`/`<dd>`/`<dt>`/headings auto-close per
 the spec's scoping rules, table context is normalized (implied
 `<tbody>`, `<tr>`/cells close the open row/cell, stray table tags
-outside a table are ignored), `</p>` with no open p inserts an empty
-one and `</br>` acts as `<br>` — see _build_tree. One deliberate
-deviation: character data is NEVER dropped or moved (html5ever
-ignores whitespace before <html>/<head> and foster-parents stray
-table text), so document-order text concatenation — the byte-identity
-target — is invariant across both tree paths and stream_fulltext.
+outside a table are ignored), stray in-table content FOSTER-PARENTS
+to just before the table (whitespace-only runs stay), formatting
+elements (a/b/i/em/...) live on an active-formatting list with
+markers + Noah's Ark, are reconstructed across block boundaries, and
+misnested formatting end tags run the full adoption agency algorithm
+(`<b><p>x</b>y` builds html5ever's tree), `</p>` with no open p
+inserts an empty one and `</br>` acts as `<br>` — see _build_tree.
+Character data is never dropped; foster parenting is the ONE
+spec-mandated construct that moves it, so stream_fulltext delegates
+table-bearing documents to the tree to stay byte-identical.
+One retained deviation: whitespace before <html>/<head> is kept in
+place rather than dropped (html5ever ignores it) — it never changes
+selector matches on elements and keeps full-document text total.
 
-Remaining boundary vs html5ever (SURVEY.md §7 risk 1): foster
-parenting and active-formatting reconstruction (tree_sink.rs:13-228
-delegates both to html5ever's spec machinery). Unclosed tags are
-recovered by popping to the nearest matching open tag.
+Remaining boundary vs html5ever (narrow, documented): template
+content trees, SVG/MathML foreign content, and the in-select /
+frameset insertion modes. Unclosed tags are recovered by popping to
+the nearest matching open tag.
 """
 
 from __future__ import annotations
@@ -327,9 +334,22 @@ class _TextStream(HTMLParser):
             self.parts.append(data)
 
 
+_TABLE_RX = __import__("re").compile(r"<[tT][aA][bB][lL][eE]")
+
+
 def stream_fulltext(html: str | bytes) -> str:
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
+    if _TABLE_RX.search(html) is not None:
+        # foster parenting (r5) MOVES non-whitespace character runs
+        # that sit in table context to just before the table — the
+        # one construct where document text order differs from token
+        # order — so table-bearing documents take the tree path to
+        # stay byte-identical to root.inner_text(). Everything else
+        # keeps the allocation-free token stream: the adoption agency
+        # and formatting reconstruction only move element boundaries,
+        # never the relative order of character data.
+        return Html.parse_document(html).root.inner_text()
     evs = _fast_tokenize(html)
     if evs is not None:
         return "".join(e[1] for e in evs if e[0] == "d")
@@ -385,6 +405,19 @@ _TABLE_MODES = frozenset(
 _TABLE_TAGS = frozenset(
     "table caption col colgroup tbody td tfoot th thead tr".split()
 )
+# formatting elements tracked by the active-formatting list (the
+# spec's adoption-agency subjects; html5ever tree_builder rules)
+_FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+# current-node names that trigger foster parenting for in-body
+# content ("in table" insertion mode, outside caption/cell)
+_TABLE_FOSTER = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
+# elements whose start tag pushes a marker onto the active-formatting
+# list and whose close clears it back to that marker
+_MARKER_OWNERS = frozenset(
+    ("td", "th", "caption", "applet", "object", "marquee", "template")
+)
 # start tags needing construction logic beyond append+push
 _SPECIAL_START = (
     _P_CLOSERS
@@ -394,6 +427,19 @@ _SPECIAL_START = (
 )
 _SPECIAL_END = frozenset(("p", "br", "body", "html", "head"))
 _WS = frozenset(" \t\n\r\f")  # html5 ASCII whitespace (NOT \xa0)
+
+
+_AFE_MARKER = object()  # active-formatting-list marker sentinel
+
+
+def _clone_element(el: Node) -> Node:
+    """Shallow clone for formatting reconstruction / adoption agency
+    (same name + attrs, no children)."""
+    c = Node(ELEMENT, name=el.name)
+    c.attrs = dict(el.attrs)
+    c.id = el.id
+    c.classes = el.classes
+    return c
 
 
 def _make_element(name: str, attrs) -> Node:
@@ -410,9 +456,9 @@ def _make_element(name: str, attrs) -> Node:
 
 
 def _build_tree(events) -> "tuple[Node, list[str]]":
-    """Event -> tree with the common html5 insertion rules (the subset
-    real-web pages rely on; html5ever parity is pinned by
-    tests/test_html5_tree.py golden vectors):
+    """Event -> tree with the html5 insertion rules real-web pages
+    rely on (html5ever parity pinned by tests/test_html5_tree.py
+    golden vectors):
 
     - html/head/body implication: metadata tags fill an implied
       <head>, anything else opens <body>; </body>/</html> leave body
@@ -424,13 +470,27 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
       <td>/<th> under a row group implies <tr>, a new cell/row/row
       group closes the open one, <col> implies <colgroup>, and table
       structure tags OUTSIDE any table are ignored (in-body rule);
+    - FOSTER PARENTING (r5): in-body content arriving while the
+      current node is table/tbody/thead/tfoot/tr is inserted
+      immediately BEFORE the open table. Character runs buffer until
+      the next tag: an all-whitespace run stays in the table, a run
+      with any non-space fosters whole (the spec's pending table
+      character tokens);
+    - ACTIVE FORMATTING (r5): a/b/big/code/em/font/i/nobr/s/small/
+      strike/strong/tt/u live on the active-formatting list (with
+      Noah's Ark clause); they are reconstructed before character
+      data and ordinary start tags, cleared to markers at cell/
+      caption/applet boundaries, and misnested end tags run the full
+      adoption agency algorithm (<b><p>x</b>y -> b, p>(b>x, y) — the
+      html5ever tree, tree_sink.rs:13-228 delegating to the spec);
     - <option>/<optgroup> close an open option; <button> closes an
       open button; </p> with no open p inserts an empty one; </br>
       acts as <br>.
 
-    Character data is never dropped or reordered (see module
-    docstring) — document-order text concat stays byte-identical to
-    stream_fulltext on every input."""
+    Character data is never DROPPED; foster parenting is the one
+    construct that moves it (spec-mandated) — stream_fulltext
+    mirrors this by delegating table-bearing documents to the tree.
+    """
     root = Node(DOCUMENT)
     errors: list[str] = []
     stack = [root]
@@ -439,17 +499,236 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
     body_el: Node | None = None
     head_open = False
     head_reopened = False
+    afe: list = []  # active formatting: Node refs / _AFE_MARKER
+    pending_tt: list[str] = []  # char runs seen in table context
+
+    def _merge_append(parent: Node, node_: Node) -> None:
+        ch = parent.children
+        if node_.kind == TEXT and ch and ch[-1].kind == TEXT:
+            ch[-1].text += node_.text
+            return
+        node_.parent = parent
+        ch.append(node_)
+
+    def _detach(n: Node) -> None:
+        if n.parent is not None:
+            n.parent.children.remove(n)
+            n.parent = None
+
+    def _insert_before_table(node_: Node) -> None:
+        # foster position: immediately before the last open table
+        # (merging with an existing text sibling, tree_sink merge law)
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].name == "table":
+                tbl = stack[i]
+                parent = tbl.parent
+                if parent is None:  # pragma: no cover - table always inserted
+                    _merge_append(stack[i - 1], node_)
+                    return
+                idx = parent.children.index(tbl)
+                if (
+                    node_.kind == TEXT and idx > 0
+                    and parent.children[idx - 1].kind == TEXT
+                ):
+                    parent.children[idx - 1].text += node_.text
+                    return
+                node_.parent = parent
+                parent.children.insert(idx, node_)
+                return
+        _merge_append(stack[-1], node_)  # no open table: plain append
 
     def _insert(el: Node, push: bool) -> None:
+        # plain structural insertion (table skeleton paths: never
+        # foster tbody/tr/cells into their own table)
         top = stack[-1]
         el.parent = top
         top.children.append(el)
         if push:
             stack.append(el)
 
+    def _insert_appropriate(el: Node, push: bool) -> None:
+        # in-body insertion at the spec's "appropriate place":
+        # fosters when the current node is in table context
+        top = stack[-1]
+        if top.kind == ELEMENT and top.name in _TABLE_FOSTER:
+            _insert_before_table(el)
+        else:
+            el.parent = top
+            top.children.append(el)
+        if push:
+            stack.append(el)
+
     def _insert_into(parent: Node, el: Node) -> None:
         el.parent = parent
         parent.children.append(el)
+
+    # --- active formatting machinery ------------------------------
+    def _clear_afe_to_marker() -> None:
+        while afe:
+            if afe.pop() is _AFE_MARKER:
+                return
+
+    def _pop_one() -> None:
+        n = stack.pop()
+        if n.kind == ELEMENT and n.name in _MARKER_OWNERS:
+            _clear_afe_to_marker()
+
+    def _pop_stack(i: int) -> None:
+        popped = stack[i:]
+        del stack[i:]
+        for n in reversed(popped):
+            if n.kind == ELEMENT and n.name in _MARKER_OWNERS:
+                _clear_afe_to_marker()
+
+    def _reconstruct() -> None:
+        if not afe:
+            return
+        last = afe[-1]
+        on_stack = {id(n) for n in stack}
+        if last is _AFE_MARKER or id(last) in on_stack:
+            return
+        i = len(afe) - 1
+        while i > 0:
+            e = afe[i - 1]
+            if e is _AFE_MARKER or id(e) in on_stack:
+                break
+            i -= 1
+        for j in range(i, len(afe)):
+            clone = _clone_element(afe[j])
+            _insert_appropriate(clone, True)
+            afe[j] = clone
+
+    def _generic_end(tag: str) -> None:
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].name == tag:
+                _pop_stack(i)
+                return
+        errors.append(f"unmatched end tag </{tag}>")
+
+    def _adoption_agency(subject: str) -> None:
+        """The spec's adoption agency algorithm (misnested formatting:
+        <b><p>x</b>y). Outer loop capped at 8, inner at 3 as written;
+        element moves preserve text document order (only whole
+        subtrees and element boundaries move)."""
+        top = stack[-1]
+        if (
+            top.kind == ELEMENT and top.name == subject
+            and not any(e is top for e in afe)
+        ):
+            _pop_one()
+            return
+        for _outer in range(8):
+            fe = None
+            fi = -1
+            for i in range(len(afe) - 1, -1, -1):
+                if afe[i] is _AFE_MARKER:
+                    break
+                if afe[i].name == subject:
+                    fe, fi = afe[i], i
+                    break
+            if fe is None:
+                _generic_end(subject)
+                return
+            si = -1
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is fe:
+                    si = i
+                    break
+            if si < 0:
+                errors.append(f"</{subject}> formatting element closed")
+                del afe[fi]
+                return
+            if any(
+                stack[j].name in _DEFAULT_SCOPE_STOP
+                for j in range(si + 1, len(stack))
+            ):
+                errors.append(f"</{subject}> out of scope")
+                return
+            fb = None
+            fb_si = -1
+            for j in range(si + 1, len(stack)):
+                if stack[j].name in _SPECIAL_CAT:
+                    fb, fb_si = stack[j], j
+                    break
+            if fb is None:
+                _pop_stack(si)
+                del afe[fi]
+                return
+            ca = stack[si - 1]
+            bookmark = fi
+            last = fb
+            node_si = fb_si
+            inner = 0
+            while True:
+                inner += 1
+                node_si -= 1
+                node = stack[node_si]
+                if node is fe:
+                    break
+                in_afe = any(e is node for e in afe)
+                if inner > 3 and in_afe:
+                    bi = next(
+                        k for k, e in enumerate(afe) if e is node
+                    )
+                    del afe[bi]
+                    if bi < bookmark:
+                        bookmark -= 1
+                    in_afe = False
+                if not in_afe:
+                    del stack[node_si]
+                    continue
+                clone = _clone_element(node)
+                ai = next(k for k, e in enumerate(afe) if e is node)
+                afe[ai] = clone
+                stack[node_si] = clone
+                node = clone
+                if last is fb:
+                    bookmark = ai + 1
+                _detach(last)
+                node.children.append(last)
+                last.parent = node
+                last = node
+            _detach(last)
+            if ca.kind == ELEMENT and ca.name in _TABLE_FOSTER:
+                _insert_before_table(last)
+            else:
+                _merge_append(ca, last)
+            clone = _clone_element(fe)
+            for c in fb.children:
+                c.parent = clone
+            clone.children = fb.children
+            fb.children = [clone]
+            clone.parent = fb
+            fi2 = next(k for k, e in enumerate(afe) if e is fe)
+            del afe[fi2]
+            if fi2 < bookmark:
+                bookmark -= 1
+            afe.insert(bookmark, clone)
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is fe:
+                    del stack[i]
+                    break
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is fb:
+                    stack.insert(i + 1, clone)
+                    break
+
+    def _flush_tt() -> None:
+        data = "".join(pending_tt)
+        pending_tt.clear()
+        if all(c in _WS for c in data):
+            _merge_append(stack[-1], Node(TEXT, text=data))
+            return
+        # spec: a pending run with any non-space character is wholly
+        # reprocessed with foster parenting enabled
+        errors.append("foster-parented table character data")
+        _reconstruct()
+        top = stack[-1]
+        node_ = Node(TEXT, text=data)
+        if top.kind == ELEMENT and top.name in _TABLE_FOSTER:
+            _insert_before_table(node_)
+        else:
+            _merge_append(top, node_)
 
     def _ensure_html() -> None:
         nonlocal html_el
@@ -470,10 +749,18 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
             head_open = True
 
     def _ensure_body(el: Node | None = None) -> None:
-        nonlocal body_el, head_open
+        nonlocal body_el, head_open, head_reopened
         _ensure_html()
         if head_el is None:
             _open_head()
+        if head_reopened:
+            # a reopened head (after-head metadata) must never stay
+            # on the stack below body (ADVICE r4): pop it first
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i] is head_el:
+                    del stack[i:]
+                    break
+            head_reopened = False
         if head_open:
             # pop the head (and anything left open inside it)
             for i in range(len(stack) - 1, 0, -1):
@@ -491,7 +778,7 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
         for i in range(len(stack) - 1, 0, -1):
             name = stack[i].name
             if name == "p":
-                del stack[i:]
+                _pop_stack(i)
                 return
             if name in _BUTTON_SCOPE_STOP:
                 return
@@ -503,7 +790,7 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
         for i in range(len(stack) - 1, 0, -1):
             name = stack[i].name
             if name in kinds:
-                del stack[i:]
+                _pop_stack(i)
                 return
             if name in _SPECIAL_CAT and name not in ("address", "div", "p"):
                 return
@@ -517,7 +804,7 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
     def _pop_to_names(names: frozenset, floor: int) -> None:
         # pop until the top is one of ``names``; never below ``floor``
         while len(stack) - 1 > floor and stack[-1].name not in names:
-            stack.pop()
+            _pop_one()
 
     def _start_special(name: str, attrs, push: bool) -> None:
         nonlocal head_open
@@ -529,15 +816,29 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
                 stack.append(el)
                 # bind the implied-structure pointers to the real tag
                 _bind_html(el)
+            else:
+                # spec: merge attrs not already present onto the
+                # existing element (ADVICE r4)
+                for a, v in attrs:
+                    if a not in html_el.attrs:
+                        html_el.attrs[a] = v if v is not None else ""
             return
         if name == "head":
             if head_el is None:
                 _ensure_html()
                 _open_head(_make_element(name, attrs))
+            else:
+                for a, v in attrs:
+                    if a not in head_el.attrs:
+                        head_el.attrs[a] = v if v is not None else ""
             return
         if name == "body":
             if body_el is None:
                 _ensure_body(_make_element(name, attrs))
+            else:
+                for a, v in attrs:
+                    if a not in body_el.attrs:
+                        body_el.attrs[a] = v if v is not None else ""
             return
         if name == "frame":
             return  # in-body: ignored
@@ -560,9 +861,13 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
                 if stack[-1].name in _ROW_GROUPS:
                     _insert(Node(ELEMENT, name="tr"), True)
                 _insert(_make_element(name, attrs), push)
+                if push:
+                    afe.append(_AFE_MARKER)
             elif name in _ROW_GROUPS or name in ("caption", "colgroup"):
                 _pop_to_names(frozenset(("table",)), ti - 1)
                 _insert(_make_element(name, attrs), push)
+                if name == "caption" and push:
+                    afe.append(_AFE_MARKER)
             else:  # col
                 _pop_to_names(frozenset(("table", "colgroup")), ti - 1)
                 if stack[-1].name == "table":
@@ -579,35 +884,38 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
                 # sibling tables, never table-in-table (unless in a cell)
                 ti = _nearest_table_index()
                 if ti > 0:
-                    del stack[ti:]
+                    _pop_stack(ti)
             _close_p_in_button_scope()
             if name in _HEADINGS and stack[-1].name in _HEADINGS:
                 stack.pop()  # a heading closes a current heading
-            _insert(_make_element(name, attrs), push)
+            _insert_appropriate(_make_element(name, attrs), push)
             return
         if name == "option":
             if stack[-1].name == "option":
                 stack.pop()
-            _insert(_make_element(name, attrs), push)
+            _reconstruct()
+            _insert_appropriate(_make_element(name, attrs), push)
             return
         if name == "optgroup":
             if stack[-1].name == "option":
                 stack.pop()
             if stack[-1].name == "optgroup":
                 stack.pop()
-            _insert(_make_element(name, attrs), push)
+            _reconstruct()
+            _insert_appropriate(_make_element(name, attrs), push)
             return
         if name == "button":
             for i in range(len(stack) - 1, 0, -1):
                 nm = stack[i].name
                 if nm == "button":
-                    del stack[i:]
+                    _pop_stack(i)
                     break
                 if nm in _DEFAULT_SCOPE_STOP:
                     break
-            _insert(_make_element(name, attrs), push)
+            _reconstruct()
+            _insert_appropriate(_make_element(name, attrs), push)
             return
-        _insert(_make_element(name, attrs), push)  # pragma: no cover
+        _insert_appropriate(_make_element(name, attrs), push)  # pragma: no cover
 
     def _bind_html(el: Node) -> None:
         nonlocal html_el
@@ -619,19 +927,20 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
             for i in range(len(stack) - 1, 0, -1):
                 name = stack[i].name
                 if name == "p":
-                    del stack[i:]
+                    _pop_stack(i)
                     return
                 if name in _BUTTON_SCOPE_STOP:
                     break
             # </p> with no open p: acts as <p></p> (in-body rule)
             if body_el is None:
                 _ensure_body()
-            _insert(Node(ELEMENT, name="p"), False)
+            _insert_appropriate(Node(ELEMENT, name="p"), False)
             return
         if tag == "br":  # </br> acts as <br>
             if body_el is None:
                 _ensure_body()
-            _insert(Node(ELEMENT, name="br"), False)
+            _reconstruct()
+            _insert_appropriate(Node(ELEMENT, name="br"), False)
             return
         if tag in ("body", "html"):
             # content after </body>/</html> still belongs to body
@@ -639,7 +948,7 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
                 _ensure_body()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i] is body_el:
-                    del stack[i + 1:]
+                    _pop_stack(i + 1)
                     return
             return
         # tag == "head"
@@ -656,8 +965,16 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
 
     for ev in events:
         k = ev[0]
+        if pending_tt and k != "d":
+            _flush_tt()
         if k == "d":
             top = stack[-1]
+            if top.kind == ELEMENT and top.name in _TABLE_FOSTER:
+                # in-table character run: buffer until the next tag
+                # (whitespace-only runs stay in the table, anything
+                # else fosters whole)
+                pending_tt.append(ev[1])
+                continue
             if body_el is None and (
                 top is root or top is html_el or top is head_el
             ):
@@ -667,6 +984,9 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
                 else:
                     _ensure_body()
                     top = stack[-1]
+            if afe and body_el is not None and top is not head_el:
+                _reconstruct()
+                top = stack[-1]
             ch = top.children
             if ch and ch[-1].kind == TEXT:
                 ch[-1].text += ev[1]
@@ -683,7 +1003,12 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
             if body_el is None:
                 top = stack[-1]
                 if top is root or top is html_el or top is head_el:
-                    if name in _HEAD_ONLY:
+                    # after-head metadata per spec EXCLUDES noscript
+                    # (ADVICE r4): an after-head <noscript> opens body
+                    if name in _HEAD_ONLY and not (
+                        name == "noscript"
+                        and head_el is not None and not head_open
+                    ):
                         if head_el is not None and not head_open:
                             # after-head metadata: the spec pushes the
                             # head back, processes in-head, pops it
@@ -698,18 +1023,72 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
                             _open_head()
                     else:
                         _ensure_body()
-            _insert(_make_element(name, ev[2]), push)
+            if name in _FORMATTING:
+                if name == "a":
+                    # <a> with an a still in the list: run the
+                    # adoption agency, then drop the stale entry
+                    for i in range(len(afe) - 1, -1, -1):
+                        if afe[i] is _AFE_MARKER:
+                            break
+                        if afe[i].name == "a":
+                            old = afe[i]
+                            errors.append("nested <a> adopted")
+                            _adoption_agency("a")
+                            for j in range(len(afe) - 1, -1, -1):
+                                if afe[j] is old:
+                                    del afe[j]
+                                    break
+                            for j in range(len(stack) - 1, 0, -1):
+                                if stack[j] is old:
+                                    del stack[j]
+                                    break
+                            break
+                elif name == "nobr":
+                    if any(
+                        n.name == "nobr" for n in stack[1:]
+                        if n.kind == ELEMENT
+                    ):
+                        _adoption_agency("nobr")
+                _reconstruct()
+                el = _make_element(name, ev[2])
+                # Noah's Ark: at most 3 identical entries since the
+                # last marker
+                same = []
+                for e in reversed(afe):
+                    if e is _AFE_MARKER:
+                        break
+                    if e.name == name and e.attrs == el.attrs:
+                        same.append(e)
+                if len(same) >= 3:
+                    oldest = same[-1]
+                    for j, e in enumerate(afe):
+                        if e is oldest:
+                            del afe[j]
+                            break
+                _insert_appropriate(el, push)
+                if push:
+                    afe.append(el)
+                continue
+            if name in ("applet", "object", "marquee"):
+                _reconstruct()
+                _insert_appropriate(_make_element(name, ev[2]), push)
+                if push:
+                    afe.append(_AFE_MARKER)
+                continue
+            # any other start tag: reconstruct, then insert at the
+            # appropriate (foster-aware) place
+            if afe and body_el is not None and stack[-1] is not head_el:
+                _reconstruct()
+            _insert_appropriate(_make_element(name, ev[2]), push)
         elif k == "e":
             tag = ev[1]
             if tag in _SPECIAL_END:
                 _end_special(tag)
                 continue
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i].name == tag:
-                    del stack[i:]
-                    break
-            else:
-                errors.append(f"unmatched end tag </{tag}>")
+            if tag in _FORMATTING:
+                _adoption_agency(tag)
+                continue
+            _generic_end(tag)
             if head_reopened and stack[-1] is head_el:
                 stack.pop()
                 head_reopened = False
@@ -722,6 +1101,8 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
             )
         else:  # "?"
             stack[-1].append(Node(PI, text=ev[1].rstrip("?")))
+    if pending_tt:
+        _flush_tt()
     return root, errors
 
 

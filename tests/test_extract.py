@@ -152,7 +152,12 @@ def test_stream_fulltext_property():
          # auto-close / implication / ignore rule untouched
          "<li>", "<td>", "<tr>", "<table>", "</table>", "</p>", "<ul>",
          "<option>", "<head>", "</head>", "<body>", "</body>", "<h1>",
-         "<dd>", "<dt>", "<tbody>", "</br>", "<button>", "<meta>"]
+         "<dd>", "<dt>", "<tbody>", "</br>", "<button>", "<meta>",
+         # r5 foster/formatting paths: text position must agree
+         # between the tree and the stream on every construct
+         "<b>", "</b>", "<i>", "</i>", "<a href=u>", "</a>", "<em>",
+         "<nobr>", "</nobr>", "<caption>", "</caption>", "<th>",
+         "</td>", "</tr>", "<object>", "</object>", "<marquee>"]
     )
     docs = st.lists(st.one_of(tagish, st.text(max_size=8)), max_size=30).map(
         "".join

@@ -237,3 +237,120 @@ def test_real_page_selectors_like_html5ever():
     from swspark.extract.dom import stream_fulltext
 
     assert h.root.inner_text() == stream_fulltext(page)
+
+
+# --- r5: foster parenting + active formatting (adoption agency) ----
+# Expected shapes are the html5lib-tests trees (what html5ever, the
+# reference's parser, produces — tree_sink.rs:13-228 delegates to the
+# spec machinery these cases come from).
+GOLDEN_R5 = [
+    # foster parenting: stray table text moves before the table
+    (
+        "<table><tr><td>A</td></tr>B</table>",
+        '<html>\n  <head>\n  <body>\n    "B"\n    <table>\n      <tbody>\n'
+        '        <tr>\n          <td>\n            "A"',
+    ),
+    # whitespace-only runs stay inside the table
+    (
+        # in-table space stays at the current node: first run in the
+        # table, second in the tbody (current node after </tr>)
+        "<table> <tr><td>y</td></tr> </table>",
+        '<html>\n  <head>\n  <body>\n    <table>\n      " "\n      <tbody>\n'
+        '        <tr>\n          <td>\n            "y"\n        " "',
+    ),
+    # fostered elements: a <div> in table context lands before the table
+    (
+        "<div><table><div>D</div><tr><td>C</td></tr></table></div>",
+        '<html>\n  <head>\n  <body>\n    <div>\n      <div>\n        "D"\n'
+        '      <table>\n        <tbody>\n          <tr>\n            <td>\n'
+        '              "C"',
+    ),
+    # adoption agency: <b><p>x</b>y  ->  b, p > (b > x, y)
+    (
+        "<b><p>x</b>y</p>",
+        '<html>\n  <head>\n  <body>\n    <b>\n    <p>\n      <b>\n'
+        '        "x"\n      "y"',
+    ),
+    # adoption agency with text before the block
+    (
+        "<b>1<p>2</b>3</p>",
+        '<html>\n  <head>\n  <body>\n    <b>\n      "1"\n    <p>\n'
+        '      <b>\n        "2"\n      "3"',
+    ),
+    # formatting reconstruction across paragraphs
+    (
+        "<p><b>1</p><p>2</p>",
+        '<html>\n  <head>\n  <body>\n    <p>\n      <b>\n        "1"\n'
+        '    <p>\n      <b>\n        "2"',
+    ),
+    # misnested <b><i>...</b>...</i>
+    (
+        "<b><i>bold italic</b>plain</i>",
+        '<html>\n  <head>\n  <body>\n    <b>\n      <i>\n'
+        '        "bold italic"\n    <i>\n      "plain"',
+    ),
+    # the html5lib-tests classic: formatting element opened in table
+    # context fosters, reconstructs around fostered text, and
+    # reconstructs again after the table
+    (
+        "<table><b><tr><td>aaa</td></tr>bbb</table>ccc",
+        '<html>\n  <head>\n  <body>\n    <b>\n    <b>\n      "bbb"\n'
+        '    <table>\n      <tbody>\n        <tr>\n          <td>\n'
+        '            "aaa"\n    <b>\n      "ccc"',
+    ),
+    # cell boundaries are formatting markers: the <b> opened in one
+    # cell does not leak into the next
+    (
+        "<table><tr><td><b>x</td><td>y</td></tr></table>",
+        '<html>\n  <head>\n  <body>\n    <table>\n      <tbody>\n'
+        '        <tr>\n          <td>\n            <b>\n              "x"\n'
+        '          <td>\n            "y"',
+    ),
+    # nested <a>: the adoption agency closes the first
+    (
+        "<a href=1>x<div>y</div><a href=2>z",
+        '<html>\n  <head>\n  <body>\n    <a>\n      "x"\n      <div>\n'
+        '        "y"\n    <a>\n      "z"',
+    ),
+    # duplicate html tag merges missing attributes (spec)
+    (
+        "<html lang=en><html dir=ltr><p>x",
+        '<html>\n  <head>\n  <body>\n    <p>\n      "x"',
+    ),
+    # after-head <noscript> opens body (not head metadata there)
+    (
+        "</head><noscript><p>x</noscript>more",
+        '<html>\n  <head>\n  <body>\n    <noscript>\n      <p>\n'
+        '        "x"\n    "more"',
+    ),
+]
+
+
+@pytest.mark.parametrize("html,expected", GOLDEN_R5,
+                         ids=[h[:40] for h, _ in GOLDEN_R5])
+def test_r5_foster_and_formatting(html, expected):
+    assert tree(html) == expected
+
+
+def test_duplicate_html_attrs_merge():
+    h = Html.parse_document("<html lang=en><html lang=fr dir=ltr>x")
+    root = h.root_element()
+    assert root.attrs == {"lang": "en", "dir": "ltr"}
+
+
+def test_fostered_text_merges_with_existing_sibling():
+    h = Html.parse_document("a<table>b<tr>c</table>")
+    # both stray runs foster before the table, merging with "a"
+    body = [c for c in h.root_element().children if c.name == "body"][0]
+    kinds = [(c.kind, getattr(c, "name", "")) for c in body.children]
+    assert body.children[0].kind == TEXT
+    assert body.children[0].text == "abc"
+    assert body.children[1].name == "table"
+
+
+def test_formatting_cleared_at_cell_close_selectors():
+    h = Html.parse_document(
+        "<table><tr><td><em>x</td><td>y</td></tr></table>after"
+    )
+    # em must not be reconstructed around "y" or "after"
+    assert [e.inner_text() for e in h.select("em")] == ["x"]
