@@ -160,7 +160,11 @@ def run_crawl_wave(spark, inputs: dict) -> tuple[float, int]:
     )
     wave_period = max(1.0, n_urls / 2000.0)  # admit a large wave
     scheduled = schedule_wave(
-        candidates, inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18)
+        candidates, inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
+        # boundaries from the cheap pre-anti-join scan; frontier size
+        # is known, so no sizing count (any superset is exact —
+        # boundaries steer balance, never results)
+        boundary_source=frontier, approx_count=n_urls,
     )
     scheduled = salted_repartition(
         scheduled, spark.sparkContext.defaultParallelism, 16
@@ -254,6 +258,8 @@ def run_crawl_wave_stages(spark, inputs: dict) -> dict:
             inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
         ),
         inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
+        boundary_source=with_url_identity(inputs["frontier"]),
+        approx_count=n_urls,
     )
     scheduled.count()
     out["cum_rank"] = time.perf_counter() - t0
@@ -265,6 +271,8 @@ def run_crawl_wave_stages(spark, inputs: dict) -> dict:
             inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
         ),
         inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
+        boundary_source=with_url_identity(inputs["frontier"]),
+        approx_count=n_urls,
     )
     scheduled = salted_repartition(
         scheduled, spark.sparkContext.defaultParallelism, 16

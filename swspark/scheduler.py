@@ -75,10 +75,22 @@ def politeness_budget(
 
 SCHEDULE_ORDER = ("priority", "last_fetch_ts", "url")
 
-# log-spaced percentile grid for the hot-host pre-prune (percentile
-# literals must be foldable, so per-host targets snap UP to a grid
-# point — at most 10^(1/6) ~ 1.47x over-keep)
-_PRUNE_GRID = [10.0 ** (-6 + i / 6.0) for i in range(36)] + [1.0]
+# (column, ascending, nulls_first) for the per-host schedule order
+# (priority DESC NULLS LAST, last_fetch_ts ASC NULLS FIRST, url ASC).
+# The bucket comparator deliberately EXCLUDES host: order-consistent
+# bucketing only needs within-host monotonicity, which this order
+# gives for every host at once, and dropping the host string compare
+# keeps the generated binary-search method under the JVM's ~8 KB
+# DontCompileHugeMethods limit (measured: the host-including variant
+# generated a 9.5 KB method that never JIT-compiled and evaluated at
+# ~5 us/row — 10x the whole sort).
+_ORDER_SPEC = (
+    ("priority", False, False),
+    ("last_fetch_ts", True, True),
+    ("url", True, True),
+)
+
+_SAMPLE_SEED = 0x5157
 
 
 def _common_prefix_len(a: Column, b: Column) -> Column:
@@ -98,132 +110,178 @@ def _common_prefix_len(a: Column, b: Column) -> Column:
     )
 
 
-def _coarse_order_key(
-    cp_col: Column,
-    prio_col: str = "priority",
-    ts_col: str = "last_fetch_ts",
-    url_col: str = "url",
-) -> Column:
-    """53-bit coarsening of the schedule order (priority DESC NULLS
-    LAST, last_fetch_ts ASC NULLS FIRST, url ASC): monotone
-    NON-DECREASING along the true order, so for any row r the set
-    {x : key(x) <= key(r)} is a superset of every row ordered before
-    r — coarse ties only ever OVER-keep, never drop a winner.
-
-    Layout: [7b inverted priority][14b ts bucket][32b url bytes].
-    <= 2^53 so percentile_approx's internal double representation is
-    EXACT (int64-wide keys round in the sketch and could round a
-    threshold below its true rank). The url component takes the 4
-    bytes at ``cp_col`` — the host's common url prefix length (from
-    min/max urls; every url lexicographically between them shares that
-    prefix) — because the leading scheme://host bytes are constant
-    within the host and discriminate nothing."""
-    p = F.col(prio_col)
-    inv_p = F.when(p.isNull(), F.lit(127)).otherwise(
-        F.lit(126) - F.least(F.greatest(p, F.lit(0)), F.lit(125))
-    ).cast("long")
-    ts = F.col(ts_col).cast("long")  # seconds; null (never fetched) first
-    ts_b = F.when(ts.isNull(), F.lit(0)).otherwise(
-        F.least(
-            F.greatest((ts / F.lit(1 << 22)).cast("long") + 1, F.lit(1)),
-            F.lit((1 << 14) - 1),
-        )
-    ).cast("long")
-
-    def byte(i) -> Column:
-        # codepoint of the char at cp+i, clamped to a byte — UTF-8
-        # byte order is codepoint order, so clamping stays
-        # monotone-coarse; past-the-end chars read as 0 (shorter
-        # strings sort first, matching lexicographic order)
-        return F.least(
-            F.coalesce(
-                F.ascii(F.substring(F.col(url_col), cp_col + i, 1)),
-                F.lit(0),
-            ),
-            F.lit(255),
-        ).cast("long")
-
-    url_key = (
-        byte(1) * F.lit(1 << 24) + byte(2) * F.lit(1 << 16)
-        + byte(3) * F.lit(256) + byte(4)
-    )
-    return (inv_p * F.lit(1 << 14) + ts_b) * F.lit(1 << 32) + url_key
+def _pos_cmp(col: Column, b, asc: bool, nulls_first: bool):
+    """(strictly_after, strictly_before) boolean exprs comparing
+    ``col`` against the literal ``b`` under one sort component's
+    direction and null placement. Both exprs are never-NULL
+    (three-valued-logic safe)."""
+    if b is None:
+        if nulls_first:
+            return col.isNotNull(), F.lit(False)
+        return F.lit(False), col.isNotNull()
+    lb = F.lit(b)
+    gt_base = (col > lb) if asc else (col < lb)
+    lt_base = (col < lb) if asc else (col > lb)
+    if nulls_first:
+        # a NULL row sorts before any non-null bound
+        return col.isNotNull() & gt_base, col.isNull() | lt_base
+    # nulls last: a NULL row is strictly after any non-null bound
+    return col.isNull() | gt_base, col.isNotNull() & lt_base
 
 
-def preprune_hot_hosts(
-    base: DataFrame,
-    host_col: str = "host",
-    hot_min_rows: int = 100_000,
-    hot_factor: int = 64,
-    accuracy: int = 10_000,
-) -> DataFrame:
-    """EXACT row cut ahead of the rank shuffle (the 10^10-frontier
-    politeness shape: pending rows per host >> budget, so the window
-    sorts orders of magnitude more rows than can ever be scheduled).
+def _after_bound(bound: tuple) -> Column:
+    """Row strictly after ``bound`` (a (priority, ts, url) tuple of
+    Python literals) in the schedule order. A short-circuiting CASE
+    chain of pure Catalyst comparisons against literals — whole-stage
+    codegen, no higher-order functions (the r4 prototype's HOF
+    boundary probe ran interpreted and was 10x too slow), each
+    component tested at most twice, no repeated equality
+    conjunctions. Generated-code SIZE is a first-order concern here:
+    the probe must stay under the JVM's ~8 KB DontCompileHugeMethods
+    limit or the whole projection runs un-JIT-compiled (measured at
+    ~5 us/row — 10x the sort it feeds)."""
+    expr = F.lit(False)
+    for (name, asc, nf), b in reversed(list(zip(_ORDER_SPEC, bound))):
+        gt, lt = _pos_cmp(F.col(name), b, asc, nf)
+        expr = F.when(gt, F.lit(True)).when(lt, F.lit(False)).otherwise(expr)
+    return expr
 
-    Per hot host (pending > hot_min_rows and > hot_factor x budget),
-    compute a coarse-key threshold whose true rank is PROVABLY >= the
-    budget — approx_percentile's rank error is bounded by n/accuracy,
-    so querying rank budget + 2n/accuracy + 1 over-estimates — and
-    keep only rows at or under it. Kept rows per hot host ~
-    1.47 x (budget + 3n/accuracy); everything about the subsequent
-    two-phase rank is unchanged, and the golden-trace tests pin that
-    the schedule is identical. Cold hosts (including the unbounded-
-    budget stress shape, where n < hot_factor x budget never holds)
-    pass through untouched.
 
-    Cost: one map-side-combined count per host (tiny shuffle), one
-    percentile sketch over hot hosts' rows only, two broadcast joins.
-    The win: the (host, salt) window's sort input drops from
-    O(|frontier|) to O(hosts x budget)."""
-    counts = base.groupBy(host_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.max("_budget").alias("_bmax"),
-        F.min("url").alias("_umin"),
-        F.max("url").alias("_umax"),
-    )
-    hot = counts.where(
-        (F.col("_n") > F.lit(hot_min_rows))
-        & (F.col("_n") > F.col("_bmax") * hot_factor)
-    ).withColumn(
-        # every url between _umin and _umax shares their common
-        # prefix, so the key's url bytes start where urls of this
-        # host actually differ (the scheme://host bytes never do)
-        "_cp",
-        _common_prefix_len(F.col("_umin"), F.col("_umax")),
-    )
-    keyed = base.join(
-        F.broadcast(hot.select(host_col, "_cp")), host_col, "left"
-    ).withColumn(
-        "_ck",
-        F.when(
-            F.col("_cp").isNotNull(), _coarse_order_key(F.col("_cp"))
-        ),
-    )
-    grid = F.array(*[F.lit(p) for p in _PRUNE_GRID])
-    qs = keyed.where(F.col("_ck").isNotNull()).groupBy(host_col).agg(
-        F.percentile_approx("_ck", grid, F.lit(accuracy)).alias("_qs")
-    )
-    thr = (
-        qs.join(hot, host_col)
-        .withColumn(
-            "_tgt",
-            (F.col("_bmax") + 2 * F.col("_n") / accuracy + 1) / F.col("_n"),
-        )
-        .withColumn(
-            "_idx",
-            F.least(
-                F.size(F.filter(grid, lambda g: g < F.col("_tgt"))) + 1,
-                F.lit(len(_PRUNE_GRID)),
-            ),
-        )
-        .select(host_col, F.element_at("_qs", F.col("_idx")).alias("_thr"))
-    )
+def _bucket_of(bounds: list) -> Column:
+    """Bucket index = number of boundary tuples strictly before the
+    row, via an unrolled binary search (depth log2 |bounds|) over
+    literal boundaries. Order-consistent BY CONSTRUCTION — for every
+    host at once: the comparator (priority, ts, url) is the per-host
+    schedule order itself, so within any host the bucket is a
+    monotone non-decreasing function of the row's position, and rows
+    that tie on the full order tuple always share a bucket — the two
+    properties per-bucket ranking + cumulative offsets need for
+    exact global ranks."""
+    def rec(lo: int, hi: int) -> Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            _after_bound(bounds[mid]), rec(mid + 1, hi)
+        ).otherwise(rec(lo, mid))
+
+    return rec(0, len(bounds))
+
+
+def _py_order_key(row) -> tuple:
+    """Driver-side sort key for sampled (priority, ts, url) rows —
+    the same order as _ORDER_SPEC/_after_bound."""
+    p, ts, url = row[0], row[1], row[2]
     return (
-        keyed.join(F.broadcast(thr), host_col, "left")
-        .where(F.col("_thr").isNull() | (F.col("_ck") <= F.col("_thr")))
-        .drop("_ck", "_cp", "_thr")
+        (1, 0) if p is None else (0, -p),
+        (0, 0) if ts is None else (1, ts),
+        (0, "") if url is None else (1, url),
     )
+
+
+def sample_order_bounds(
+    source: DataFrame,
+    n_buckets: int,
+    approx_count: int | None = None,
+    samples_per_bucket: int = 64,
+    max_samples: int = 65536,
+) -> list:
+    """Sample ``source`` and return up to ``n_buckets - 1`` sorted,
+    deduplicated boundary tuples on the schedule order (the same
+    sampling strategy Spark's RangePartitioner uses, so a hot host
+    holding 10% of rows receives ~10% of the boundaries — skew-balance
+    comes from the data itself, not from assumptions about key
+    distributions).
+
+    ``source`` may be ANY superset or proxy of the frontier with the
+    order columns (e.g. the raw frontier table before the seen
+    anti-join): boundaries only steer load balance, never results, so
+    sampling the cheap pre-join scan avoids re-running upstream joins.
+    ``approx_count`` (when the caller tracks frontier size, as the
+    driver's flow counters do) skips the sizing count()."""
+    n = approx_count if approx_count is not None else source.count()
+    if n <= 0 or n_buckets <= 1:
+        return []
+    target = min(max_samples, n_buckets * samples_per_bucket)
+    frac = min(1.0, 1.25 * target / n)
+    rows = (
+        source.select("priority", "last_fetch_ts", "url")
+        .sample(False, frac, seed=_SAMPLE_SEED)
+        .limit(4 * max_samples)
+        .collect()
+    )
+    if len(rows) < 2:
+        return []
+    keyed = sorted(((_py_order_key(r), tuple(r)) for r in rows))
+    n_b = min(n_buckets, max(1, len(keyed) // 2))
+    bounds, last_key = [], None
+    for i in range(1, n_b):
+        k, row = keyed[i * len(keyed) // n_b]
+        if k != last_key:
+            bounds.append(row)
+            last_key = k
+    return bounds
+
+
+def rank_frontier_distributed(
+    base: DataFrame,
+    bounds: list,
+    host_col: str = "host",
+    budget_col: str | None = None,
+) -> DataFrame:
+    """EXACT per-host row_number with NO serial per-host STRING sort
+    (the r4 scaling diagnosis: a hot registered domain owning 10% of
+    the frontier made the final window one ~17 s task at every
+    parallelism level — an Amdahl serial term identical on any
+    cluster size; BENCH.md r4).
+
+    Two chained windows:
+
+    1. ``_bkt`` = order-consistent bucket from the literal boundary
+       binary search (codegen; within every host, bucket order
+       refines the schedule order, and full-order ties share a
+       bucket). ``_lr`` = row_number per (host, bucket): MANY
+       parallel bounded sorts carry the expensive string ordering.
+    2. rank = row_number per host ordered by (_bkt ASC, _lr ASC) —
+       equal to the single-window rank because bucket order refines
+       the true order and _lr is exact within each bucket. The hot
+       host is still one task here, but its sort key is TWO INTS:
+       the measured ~17 s hot-host string sort becomes a sub-second
+       numeric sort, leaving only the single-reducer shuffle read as
+       the residual serial term (bytes-bound, not compare-bound).
+
+    Why not offsets-via-aggregation (rank = _lr + cumulative bucket
+    counts, killing pass 2 entirely)? It needs the exchanged data
+    consumed twice; Catalyst prunes each consumer's columns into its
+    own copy of the exchange, so the upstream plan (the seen
+    anti-join — the most expensive wave stage) runs twice (measured),
+    and pinning one exchange via persist() costs more in columnar
+    cache build than the pass it saves (also measured, BENCH.md r5).
+    Two thin windows over one upstream run win on every shape tried.
+
+    With ``budget_col`` set, pass-1 ranks > budget are dropped before
+    the second shuffle (a row's global rank is >= its bucket rank):
+    in the politeness shape (pending >> budget) pass 2 moves
+    O(buckets x budget) rows per host, not the whole pending set.
+    The final exact cutoff is rank <= budget.
+
+    Empty ``bounds`` degrades to one bucket per host — pass 1 then
+    equals the plain per-host window (correct; chosen only when the
+    frontier is tiny)."""
+    keyed = base.withColumn(
+        "_bkt", _bucket_of(bounds) if bounds else F.lit(0)
+    )
+    w1 = Window.partitionBy(host_col, "_bkt").orderBy(*_order_cols())
+    pre = keyed.withColumn("_lr", F.row_number().over(w1))
+    if budget_col is not None:
+        pre = pre.where(F.col("_lr") <= F.col(budget_col))
+    w2 = Window.partitionBy(host_col).orderBy(
+        F.asc("_bkt"), F.asc("_lr")
+    )
+    r = pre.withColumn("rank", F.row_number().over(w2))
+    if budget_col is not None:
+        r = r.where(F.col("rank") <= F.col(budget_col))
+    return r.drop("_bkt", "_lr")
 
 
 def _order_cols():
@@ -248,8 +306,10 @@ def schedule_wave(
     max_urls_per_wave: int | None = None,
     host_col: str = "host",
     pre_salt: int = 16,
-    preprune: bool = False,
-    preprune_hot_min_rows: int = 100_000,
+    strategy: str = "distributed",
+    n_buckets: int | None = None,
+    boundary_source: DataFrame | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Select this wave's URLs: rank per host, cut at the politeness
     budget, optionally cap the global wave size (the page_buffer /
@@ -262,20 +322,23 @@ def schedule_wave(
     erred in recent waves get exponentially less of each wave.
     frontier must have (url, host, priority, last_fetch_ts).
 
-    Skew: a naive per-host window makes a hot domain's rank a single
-    task (one partition sorts the whole 10%-of-frontier host). The
-    rank is therefore two-phase and exact:
+    Skew (the north rule's hot registered domain): a naive per-host
+    window makes a hot domain's rank ONE task — a serial sort that
+    caps scaling at any cluster size (measured: 0.45 stage efficiency
+    8->32 cores, BENCH.md r4). ``strategy`` picks the cure:
 
-      1. pre-rank within (host, salt) — ``pre_salt`` parallel tasks
-         per host — and keep only local rank <= budget. Any row in
-         the host's true top-``budget`` is necessarily within the
-         top-``budget`` of its own salt bucket, so this drops no
-         winner (top-k monotonicity).
-      2. final rank over the survivors (<= pre_salt x budget rows per
-         host — tiny) and cut at the budget.
+    - "distributed" (default): sample boundary tuples on the order
+      key (from ``boundary_source`` if given — any cheap superset
+      scan, e.g. the frontier table before the seen anti-join — else
+      the frontier itself), then rank_frontier_distributed: one full
+      shuffle, bounded parallel per-bucket sorts, broadcast offsets,
+      and an exact pre-shuffle budget cut. Exact for any priority /
+      timestamp / url values (tuple comparisons, no key coarsening).
+    - "two_phase": the r2-r4 salted pre-rank (kept for A/B): exact,
+      but its final window re-sorts each host in one task — the
+      measured Amdahl term the distributed strategy removes.
 
-    Both phases use the same deterministic ordering, so the result is
-    identical to the single-window plan.
+    Both produce byte-identical schedules (golden tests pin it).
     """
     budget = politeness_budget(F.col("crawl_delay"), wave_period, throttle)
     has_backoff = "backoff_k" in host_budgets.columns
@@ -295,33 +358,33 @@ def schedule_wave(
             ),
         ).drop("backoff_k")
 
-    if preprune:
-        # hot-host pre-prune (r4): cut the rank's sort input to
-        # ~budget-sized per host before the (host, salt) shuffle —
-        # no-op unless a host's pending count dwarfs its budget.
-        # DEFAULT OFF after measurement (BENCH.md r4): on a single
-        # box the full-width shuffle is memory-bandwidth-efficient
-        # and the threshold passes cost as much as the sort they
-        # save (percentile variant measured 2x SLOWER at 100M).
-        # The exact over-keep machinery is kept for network-bound
-        # clusters, where a 10^10-row shuffle is the wire bottleneck
-        # the threshold passes avoid.
-        base = preprune_hot_hosts(
-            base, host_col, hot_min_rows=preprune_hot_min_rows
+    if strategy == "distributed":
+        spark = frontier.sparkSession
+        if n_buckets is None:
+            sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            n_buckets = max(8, min(512, 4 * sp))
+        bounds = sample_order_bounds(
+            boundary_source if boundary_source is not None else frontier,
+            n_buckets,
+            approx_count=approx_count,
         )
-    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(pre_salt))
-    w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*_order_cols())
-    pre = (
-        base.withColumn("_r1", F.row_number().over(w1))
-        .where(F.col("_r1") <= F.col("_budget"))
-        .drop("_r1")
-    )
-    w2 = Window.partitionBy(host_col).orderBy(*_order_cols())
-    picked = (
-        pre.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= F.col("_budget"))
-        .drop("crawl_delay", "_budget")
-    )
+        picked = rank_frontier_distributed(
+            base, bounds, host_col=host_col, budget_col="_budget"
+        ).drop("crawl_delay", "_budget")
+    else:
+        salt = F.pmod(F.xxhash64(F.col("url")), F.lit(pre_salt))
+        w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*_order_cols())
+        pre = (
+            base.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= F.col("_budget"))
+            .drop("_r1")
+        )
+        w2 = Window.partitionBy(host_col).orderBy(*_order_cols())
+        picked = (
+            pre.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= F.col("_budget"))
+            .drop("crawl_delay", "_budget")
+        )
     if max_urls_per_wave is not None:
         # deterministic global cap: favor low rank (fair across
         # hosts), url tiebreak. orderBy+limit compiles to a
