@@ -301,19 +301,53 @@ def simhash64_fast(text: Column, n: int = 5) -> Column:
     return make_simhash_udf()(hashes)
 
 
+# Above this corpus size the 64-bit/16-bit-band blocking saturates:
+# random band collisions grow as 4n^2/2^16, measured cand/true = 3,084
+# at 10^6 docs (tools/bench_dedup_scale.py, BENCH.md r4). The wide
+# (128-bit, 32-bit-band) path measured 1.05/1.48 at 10^6/10^7.
+SIMHASH64_DOC_CEILING = 200_000
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     candidates_out: dict | None = None,
+    scale: str = "auto",
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Blocking: split the 64-bit hash into (max_hamming + 1) bands — by
+    Blocking: split the hash into (max_hamming + 1) bands — by
     pigeonhole, any pair within the distance agrees on at least one
-    full band, so a band-equality join finds all of them without n^2.
+    full band, so a band-equality join finds all of them without n^2
+    COMPARISONS. The 64-bit sketch's 16-bit bands still go quadratic
+    in CANDIDATES past ~10^6 docs (4n^2/2^16 random band collisions;
+    measured cand/true = 3,084 at 10^6 — BENCH.md r4), so corpus-scale
+    runs must use the 128-bit wide path (simhash_pairs_wide, 32-bit
+    bands, measured 1.05/1.48 cand/true at 10^6/10^7, recall 1.0).
+
+    ``scale`` picks the path: "auto" (default) counts the docs
+    (or trusts ``approx_count``) and escalates to the wide sketch
+    above SIMHASH64_DOC_CEILING; "64" / "wide" force one. The wide
+    path fixes max_hamming = 3 (its band layout), matching the
+    default here.
     """
+    if scale == "auto":
+        n = approx_count if approx_count is not None else docs.count()
+        scale = "wide" if n > SIMHASH64_DOC_CEILING else "64"
+    if scale == "wide":
+        if max_hamming != 3:
+            raise ValueError(
+                "simhash_pairs(scale='wide') supports max_hamming=3 "
+                "only (4 x 32-bit bands); pass scale='64' to force "
+                "the small-corpus sketch"
+            )
+        return simhash_pairs_wide(
+            docs, id_col=id_col, text_col=text_col,
+            candidates_out=candidates_out,
+        )
     sims = docs.select(
         F.col(id_col).alias("id"), simhash64_fast(F.col(text_col)).alias("sim")
     ).persist()  # compute the sketch once for both self-join sides;

@@ -640,7 +640,14 @@ def _frontier_delta(
     """One wave's frontier op-log rows: del = this wave's scheduled
     keys, add = discovered (wave+1) and resurrected (wave) rows. The
     commit is wave-sized; `_reconstruct_frontier` folds the log over
-    the bucketed base on resume."""
+    the bucketed base on resume.
+
+    CONTRACT: only the _FRONTIER_KEYS columns of ``seen_delta`` are
+    read (everything else is projected to NULL) — the idle-wave
+    resurrection commit relies on this by passing an empty
+    frontier-schema frame where the seen-schema frame normally goes
+    (driver.py idle-wave path). Reading any other seen column here
+    would silently break that call site."""
     val_fields = [
         f for f in FRONTIER_SCHEMA.fields if f.name not in _FRONTIER_KEYS
     ]

@@ -45,6 +45,17 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.driver.memory", driver_mem)
+        # the scheduler's literal boundary probe (scheduler._bucket_of)
+        # and other wide generated projections compile to single
+        # methods past HotSpot's 8 KB DontCompileHugeMethods cutoff;
+        # without this flag such methods run INTERPRETED forever
+        # (measured: 2.6 s -> 26 s for the same 30M-row projection the
+        # moment it crossed the cutoff). Standard Spark codegen tuning;
+        # set on executors too for real clusters.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         # AQE: runtime coalesce + skew-join split; our salting handles

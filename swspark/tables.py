@@ -447,7 +447,20 @@ class SnapshotTable:
                     )
                 break
             if m["mode"] == "overwrite":
-                break  # pre-overwrite ancestry is dead data
+                # pre-overwrite ancestry is dead data. An overwrite's
+                # OWN rows are full-state, not a wave delta, so a
+                # wave-window read cannot include them — refuse loudly
+                # if one ever lands inside the window instead of
+                # silently excluding it (ADVICE r4).
+                if w is not None and w0 <= w < w1:
+                    raise ValueError(
+                        f"read_wave_range([{w0},{w1})) hit an "
+                        f"overwrite commit with in-range lineage "
+                        f"{key}={w}; overwrite rows are not "
+                        "wave-scoped — use read() or commit the data "
+                        "as an append delta"
+                    )
+                break
             v = m.get("parent")
         parts: list[DataFrame] = []
         if dirs:

@@ -179,3 +179,45 @@ def test_read_wave_range_prunes_to_window(spark, tmp_path):
         rng2._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan  # base side is partition-pruned
+
+
+def test_read_wave_range_io_at_100_waves(spark, tmp_path):
+    """VERDICT r4 #7: at 100+ committed waves, the backoff-window read
+    must touch files PROPORTIONAL to the window, never the table — the
+    IO-level gate that keeps the r3 unbounded-backoff-read regression
+    class from returning."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for w in range(110):
+        _commit(spark, t, [10 * w, 10 * w + 1], w)
+    rng = t.read_wave_range(spark, 100, 105)
+    assert sorted(r.x for r in rng.collect()) == sorted(
+        10 * w + i for w in range(100, 105) for i in (0, 1)
+    )
+    files = rng.inputFiles()
+    waves_touched = {f.split("/data/")[1].split("/")[0] for f in files}
+    assert len(waves_touched) == 5, waves_touched
+    # file count scales with the window, not the 110-wave table
+    assert len(files) <= 5 * max(
+        1, len(files) // len(waves_touched)
+    ), files
+
+
+def test_read_wave_range_refuses_inrange_overwrite(spark, tmp_path):
+    """An overwrite commit's rows are full-state, not a wave delta: a
+    window read that would include one must fail loudly (ADVICE r4),
+    while windows PAST the overwrite stay readable."""
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    _commit(spark, t, [1], 0)
+    full = spark.createDataFrame(
+        [(1, 0, "add", 0), (2, 1, "add", 1)],
+        "x int, wave int, op string, delta_wave int",
+    )
+    t.commit(full, mode="overwrite", lineage={"wave": 1})
+    _commit(spark, t, [30], 2)
+    # in-range overwrite -> loud refusal
+    with _pytest.raises(ValueError, match="overwrite"):
+        t.read_wave_range(spark, 0, 2)
+    # window entirely after the overwrite -> fine
+    assert [r.x for r in t.read_wave_range(spark, 2, 3).collect()] == [30]

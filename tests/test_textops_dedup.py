@@ -367,3 +367,31 @@ def test_simhash_wide_pairs(spark):
     )
     pairs = simhash_pairs_wide_from_sketches(sims).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 1, 2)]
+
+
+def test_simhash_pairs_scale_escalation(spark):
+    """simhash_pairs auto-escalates to the 128-bit wide sketch above
+    the measured 64-bit candidate-saturation ceiling (BENCH.md r4:
+    cand/true = 3,084 at 10^6 docs), without changing the output
+    schema; forcing the wide path with a non-default max_hamming is
+    an explicit error, not silent recall loss."""
+    import pytest as _pytest
+
+    from swspark import dedup
+
+    docs = spark.range(50).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("body text number "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    narrow = dedup.simhash_pairs(docs, scale="64")
+    wide = dedup.simhash_pairs(docs, scale="auto",
+                               approx_count=dedup.SIMHASH64_DOC_CEILING + 1)
+    assert narrow.schema == wide.schema
+    # auto below the ceiling keeps the 64-bit sketch: identical result
+    auto_small = dedup.simhash_pairs(docs, scale="auto", approx_count=50)
+    assert sorted(map(tuple, auto_small.collect())) == sorted(
+        map(tuple, narrow.collect())
+    )
+    with _pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=2, scale="wide")
