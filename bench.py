@@ -132,12 +132,24 @@ def prepare_crawl_wave(spark, n_urls: int) -> dict:
 USE_BLOOM_PREFILTER = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "0") == "1"
 
 
-def run_crawl_wave(spark, inputs: dict) -> tuple[float, int]:
+def run_crawl_wave(spark, inputs: dict, shape: str = "stress") -> tuple[float, int]:
     """One full scheduling wave on the designed layout:
     canonicalize+hash -> exact anti-join against the BUCKETED seen
-    table -> two-phase window-rank budget cutoff -> salted repartition
-    -> fetch join against the bucketed pages table.
+    table -> distributed sample-boundary rank budget cutoff -> salted
+    repartition -> fetch join against the bucketed pages table.
     Returns (seconds, urls_scheduled_and_fetched).
+
+    ``shape`` picks the politeness regime (BENCH_SCALING reports both):
+
+    - "stress": unbounded budget — the rank prunes nothing, every
+      pending URL is sorted, ranked and fetch-joined. Worst case for
+      the rank stage; n_urls rows flow through every stage.
+    - "politeness": wave_period=60 s against the robots crawl-delays
+      (0.5/1/2 s), so budgets are 120/60/30 per host while the hot
+      host holds ~10% of the frontier — pending >> budget, the
+      real-crawl shape. The distributed rank's pre-shuffle budget cut
+      (rank_frontier_distributed budget_col) keeps pass 2 to
+      O(buckets x budget) rows per host.
 
     The Bloom prefilter is OFF here by design (measured, tools/
     bench_bloom_ablation.py): in front of a bucketed sorted seen table
@@ -158,7 +170,10 @@ def run_crawl_wave(spark, inputs: dict) -> tuple[float, int]:
         spark, frontier, inputs["seen"],
         inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
     )
-    wave_period = max(1.0, n_urls / 2000.0)  # admit a large wave
+    if shape == "politeness":
+        wave_period = 60.0  # budget = 60/crawl_delay: 30..120 per host
+    else:
+        wave_period = max(1.0, n_urls / 2000.0)  # admit a large wave
     scheduled = schedule_wave(
         candidates, inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
         # boundaries from the cheap pre-anti-join scan; frontier size

@@ -78,105 +78,170 @@ SCHEDULE_ORDER = ("priority", "last_fetch_ts", "url")
 # (column, ascending, nulls_first) for the per-host schedule order
 # (priority DESC NULLS LAST, last_fetch_ts ASC NULLS FIRST, url ASC).
 # The bucket comparator deliberately EXCLUDES host: order-consistent
-# bucketing only needs within-host monotonicity, which this order
-# gives for every host at once, and dropping the host string compare
-# keeps the generated binary-search method under the JVM's ~8 KB
-# DontCompileHugeMethods limit (measured: the host-including variant
-# generated a 9.5 KB method that never JIT-compiled and evaluated at
-# ~5 us/row — 10x the whole sort).
-_ORDER_SPEC = (
-    ("priority", False, False),
-    ("last_fetch_ts", True, True),
-    ("url", True, True),
-)
-
+# bucketing only needs within-host monotonicity, which the global
+# schedule order (priority DESC NULLS LAST, last_fetch_ts ASC NULLS
+# FIRST, url ASC) gives for every host at once.
 _SAMPLE_SEED = 0x5157
 
 
-def _common_prefix_len(a: Column, b: Column) -> Column:
-    """Length of the common prefix of two strings (JVM aggregate over
-    char positions; runs on ONE row per hot host)."""
-    n = F.least(F.length(a), F.length(b))
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.aggregate(
-        idx,
-        F.lit(0),
-        lambda acc, i: F.when(
-            (acc == i - 1) & (F.substring(a, i, 1) == F.substring(b, i, 1)),
-            i,
-        ).otherwise(acc),
+# Packing layout for the url order key: cmp-vs-lcp in {-1,0,1} maps
+# to {0,1,2} << 57, the next 7 url bytes (< 2^56) fill the low bits.
+_PC_SHIFT = 1 << 57
+_TS_NULL_KEY = -(1 << 62)
+_KP_NULL_KEY = float("inf")
+
+
+def _kp_expr() -> Column:
+    """priority DESC NULLS LAST as an ascending never-null double."""
+    return (
+        F.when(F.col("priority").isNull(), F.lit(_KP_NULL_KEY))
+        .otherwise(-F.col("priority").cast("double"))
     )
 
 
-def _pos_cmp(col: Column, b, asc: bool, nulls_first: bool):
-    """(strictly_after, strictly_before) boolean exprs comparing
-    ``col`` against the literal ``b`` under one sort component's
-    direction and null placement. Both exprs are never-NULL
-    (three-valued-logic safe)."""
-    if b is None:
-        if nulls_first:
-            return col.isNotNull(), F.lit(False)
-        return F.lit(False), col.isNotNull()
-    lb = F.lit(b)
-    gt_base = (col > lb) if asc else (col < lb)
-    lt_base = (col < lb) if asc else (col > lb)
-    if nulls_first:
-        # a NULL row sorts before any non-null bound
-        return col.isNotNull() & gt_base, col.isNull() | lt_base
-    # nulls last: a NULL row is strictly after any non-null bound
-    return col.isNull() | gt_base, col.isNotNull() & lt_base
+def _kt_expr() -> Column:
+    """last_fetch_ts ASC NULLS FIRST as an ascending never-null
+    long (exact stored microseconds — sub-second deltas preserved)."""
+    return (
+        F.when(F.col("last_fetch_ts").isNull(), F.lit(_TS_NULL_KEY))
+        .otherwise(F.unix_micros(F.col("last_fetch_ts")))
+    )
 
 
-def _after_bound(bound: tuple) -> Column:
-    """Row strictly after ``bound`` (a (priority, ts, url) tuple of
-    Python literals) in the schedule order. A short-circuiting CASE
-    chain of pure Catalyst comparisons against literals — whole-stage
-    codegen, no higher-order functions (the r4 prototype's HOF
-    boundary probe ran interpreted and was 10x too slow), each
-    component tested at most twice, no repeated equality
-    conjunctions. Generated-code SIZE is a first-order concern here:
-    the probe must stay under the JVM's ~8 KB DontCompileHugeMethods
-    limit or the whole projection runs un-JIT-compiled (measured at
-    ~5 us/row — 10x the sort it feeds)."""
-    expr = F.lit(False)
-    for (name, asc, nf), b in reversed(list(zip(_ORDER_SPEC, bound))):
-        gt, lt = _pos_cmp(F.col(name), b, asc, nf)
-        expr = F.when(gt, F.lit(True)).when(lt, F.lit(False)).otherwise(expr)
-    return expr
+def _ku_expr(lcp: bytes) -> Column:
+    """url ASC coarsened to an ascending never-null long: ONE binary
+    compare of the url's first len(lcp) bytes against the bounds'
+    common prefix (packed high), then the next 7 url bytes packed
+    verbatim. A monotone COARSENING of byte order — urls that agree
+    on lcp + 7 more bytes collapse to the same key, which can only
+    merge adjacent buckets, never reorder them."""
+    url_b = F.encode(F.col("url"), "utf-8")
+    ln = len(lcp)
+    if ln:
+        pre = F.substring(url_b, 1, ln)
+        lcp_lit = F.lit(bytearray(lcp))
+        pc = (
+            F.when(pre == lcp_lit, F.lit(0))
+            .when(pre < lcp_lit, F.lit(-1))
+            .otherwise(F.lit(1))
+        )
+    else:
+        pc = F.lit(0)
+    # left-aligned zero-pad to exactly 7 bytes keeps numeric order ==
+    # byte order ("az" vs "b": 0x617A00.. < 0x620000..)
+    uk_b = F.substring(
+        F.concat(F.substring(url_b, ln + 1, 7), F.lit(bytearray(7))), 1, 7
+    )
+    uk = F.conv(F.hex(uk_b), 16, 10).cast("long")
+    packed = (pc.cast("long") + F.lit(1)) * F.lit(_PC_SHIFT) + uk
+    # null url sorts first (ASC NULLS FIRST): below every packed value
+    return F.when(F.col("url").isNull(), F.lit(-1)).otherwise(packed)
 
 
-def _bucket_of(bounds: list) -> Column:
-    """Bucket index = number of boundary tuples strictly before the
+_KEY_COLS = ("_kp", "_kt", "_ku")
+
+
+def _py_ku(url, lcp: bytes) -> int:
+    if url is None:
+        return -1
+    b = url.encode("utf-8")
+    ln = len(lcp)
+    if b[:ln] == lcp:
+        pc = 0
+    elif b[:ln] < lcp:
+        pc = -1
+    else:
+        pc = 1
+    uk = int.from_bytes((b[ln:ln + 7] + b"\x00" * 7)[:7], "big")
+    return (pc + 1) * _PC_SHIFT + uk
+
+
+class HostBounds:
+    """Per-HOT-HOST bucket boundaries: ``hosts`` maps a hot host to
+    (url common prefix of its samples, sorted numeric (kp, kt, ku)
+    boundary keys). Only hosts whose sampled share exceeds a bucket's
+    worth of rows appear — every other host needs no splitting, pays
+    no key computation, and takes the trivial bucket-0 path. Falsy
+    when sampling found no host worth splitting.
+
+    Exactness does NOT require the sampled lcp to be a true common
+    prefix of ALL the host's urls: a row whose url diverges from lcp
+    before len(lcp) packs pc=-1 (or +1), which sorts below (above)
+    EVERY boundary key of that host — boundaries are sampled urls, so
+    their pc is always 0 and their packed ku lies strictly between
+    the pc bands. Such rows collapse into the host's first (last)
+    bucket together, which is a monotone coarsening, never a
+    reorder."""
+
+    __slots__ = ("hosts",)
+
+    def __init__(self, hosts: dict):
+        self.hosts = hosts
+
+    def __len__(self) -> int:
+        return sum(len(keys) for _, keys in self.hosts.values())
+
+    def __bool__(self) -> bool:
+        return bool(self.hosts)
+
+
+def _after_key(key: tuple) -> Column:
+    """Row (by its _kp/_kt/_ku key columns) strictly after ``key`` in
+    the schedule order — 5 primitive comparisons against numeric
+    literals, no string compares, no null branches (keys are
+    never-null by construction). Generated-code size per bound is a
+    first-order concern: the r5 string-literal probe was ~50x bigger
+    per bound and ran at 6+ s per 22M-row pass (cost LINEAR in bound
+    count — icache-bound, not comparison-bound); this probe is cheap
+    enough that 128 bounds cost well under a second."""
+    kp, kt, ku = key
+    c_kp, c_kt, c_ku = (F.col(c) for c in _KEY_COLS)
+    return (c_kp > kp) | (
+        (c_kp == kp)
+        & ((c_kt > kt) | ((c_kt == kt) & (c_ku > ku)))
+    )
+
+
+def _search_tree(keys: list) -> Column:
+    """Bucket index = number of boundary keys strictly before the
     row, via an unrolled binary search (depth log2 |bounds|) over
-    literal boundaries. Order-consistent BY CONSTRUCTION — for every
-    host at once: the comparator (priority, ts, url) is the per-host
-    schedule order itself, so within any host the bucket is a
-    monotone non-decreasing function of the row's position, and rows
-    that tie on the full order tuple always share a bucket — the two
-    properties per-bucket ranking + cumulative offsets need for
-    exact global ranks."""
+    numeric literals. Order-consistent BY CONSTRUCTION: the key
+    triple is a monotone coarsening of the within-host schedule
+    order, so the bucket is a monotone non-decreasing function of
+    the row's position, and rows that tie on the full order tuple
+    always share a bucket — the two properties per-bucket ranking +
+    rank composition need for exact global ranks. Key coarsening
+    (7-byte url window) at worst merges buckets, which costs
+    balance, never correctness."""
+
     def rec(lo: int, hi: int) -> Column:
         if lo == hi:
             return F.lit(lo)
         mid = (lo + hi) // 2
         return F.when(
-            _after_bound(bounds[mid]), rec(mid + 1, hi)
+            _after_key(keys[mid]), rec(mid + 1, hi)
         ).otherwise(rec(lo, mid))
 
-    return rec(0, len(bounds))
+    return rec(0, len(keys))
 
 
-def _py_order_key(row) -> tuple:
-    """Driver-side sort key for sampled (priority, ts, url) rows —
-    the same order as _ORDER_SPEC/_after_bound."""
-    p, ts, url = row[0], row[1], row[2]
-    return (
-        (1, 0) if p is None else (0, -p),
-        (0, 0) if ts is None else (1, ts),
-        (0, "") if url is None else (1, url),
-    )
+def _bucket_of(bounds: HostBounds, host_col: str = "host") -> Column:
+    """Hot-host-gated bucket probe: a short when-chain on the host
+    string dispatches to that host's binary-search tree; every other
+    row takes bucket 0 after |hot| equality compares. Measured
+    rationale (BENCH.md r5): a single global tree's generated code is
+    O(total bounds) and its cost was LINEAR in bound count
+    (icache-bound — 31/63/127 bounds ran 2.05/2.68/6.23 s over 22.5M
+    rows), dwarfing the log-depth comparison work. Gating confines
+    tree evaluation to the skewed hosts' rows (~10% in the north
+    rule's shape), and per-host trees need only ceil(share x
+    n_buckets) bounds each, so generated code stays small."""
+    expr = F.lit(0)
+    for host, (_lcp, keys) in bounds.hosts.items():
+        expr = F.when(F.col(host_col) == host, _search_tree(keys)).otherwise(
+            expr
+        )
+    return expr
 
 
 def sample_order_bounds(
@@ -185,47 +250,82 @@ def sample_order_bounds(
     approx_count: int | None = None,
     samples_per_bucket: int = 64,
     max_samples: int = 65536,
-) -> list:
-    """Sample ``source`` and return up to ``n_buckets - 1`` sorted,
-    deduplicated boundary tuples on the schedule order (the same
-    sampling strategy Spark's RangePartitioner uses, so a hot host
-    holding 10% of rows receives ~10% of the boundaries — skew-balance
-    comes from the data itself, not from assumptions about key
-    distributions).
+    host_col: str = "host",
+    max_hot_hosts: int = 64,
+) -> HostBounds:
+    """Sample ``source`` and return per-HOT-HOST boundary keys on the
+    schedule order. A host is hot when its sampled share exceeds two
+    buckets' worth (2/n_buckets of the samples) — below that it fits
+    a single per-host sort task and splitting it buys nothing. Each
+    hot host gets ~ceil(share x n_buckets) boundaries drawn evenly
+    from ITS OWN sorted samples (the RangePartitioner idea applied
+    within the host): skew-balance comes from the data itself, and
+    the hottest host — the north rule's registered domain — gets the
+    most splits.
 
     ``source`` may be ANY superset or proxy of the frontier with the
     order columns (e.g. the raw frontier table before the seen
     anti-join): boundaries only steer load balance, never results, so
     sampling the cheap pre-join scan avoids re-running upstream joins.
     ``approx_count`` (when the caller tracks frontier size, as the
-    driver's flow counters do) skips the sizing count()."""
+    driver's flow counters do) skips the sizing count().
+
+    kp/kt are computed JVM-side with the same expressions the probe
+    uses on rows (no Python datetime/timezone round-trip to disagree
+    with ``unix_micros``); ku needs each host's sampled-url common
+    prefix, so it is packed driver-side by the same layout
+    ``_ku_expr`` emits."""
     n = approx_count if approx_count is not None else source.count()
     if n <= 0 or n_buckets <= 1:
-        return []
+        return HostBounds({})
     target = min(max_samples, n_buckets * samples_per_bucket)
     frac = min(1.0, 1.25 * target / n)
     rows = (
-        source.select("priority", "last_fetch_ts", "url")
+        source.select(
+            F.col(host_col), _kp_expr().alias("kp"), _kt_expr().alias("kt"),
+            "url",
+        )
         .sample(False, frac, seed=_SAMPLE_SEED)
         .limit(4 * max_samples)
         .collect()
     )
     if len(rows) < 2:
-        return []
-    keyed = sorted(((_py_order_key(r), tuple(r)) for r in rows))
-    n_b = min(n_buckets, max(1, len(keyed) // 2))
-    bounds, last_key = [], None
-    for i in range(1, n_b):
-        k, row = keyed[i * len(keyed) // n_b]
-        if k != last_key:
-            bounds.append(row)
-            last_key = k
-    return bounds
+        return HostBounds({})
+    import os as _os
+
+    by_host: dict = {}
+    for r in rows:
+        if r[0] is not None:
+            by_host.setdefault(r[0], []).append((r[1], r[2], r[3]))
+    threshold = max(8, (2 * len(rows)) // n_buckets)
+    hot = sorted(
+        ((h, s) for h, s in by_host.items() if len(s) >= threshold),
+        key=lambda kv: -len(kv[1]),
+    )[:max_hot_hosts]
+    hosts = {}
+    for h, samples in hot:
+        lcp = _os.path.commonprefix(
+            [(u or "").encode("utf-8") for _, _, u in samples if u is not None]
+        )
+        keyed = sorted((kp, kt, _py_ku(u, lcp)) for kp, kt, u in samples)
+        n_b = min(
+            max(2, round(len(samples) * n_buckets / len(rows))),
+            max(1, len(keyed) // 2),
+        )
+        keys, last = [], None
+        for i in range(1, n_b):
+            k = keyed[i * len(keyed) // n_b]
+            if k != last:
+                keys.append(k)
+                last = k
+        if keys:
+            hosts[h] = (lcp, keys)
+    return HostBounds(hosts)
 
 
 def rank_frontier_distributed(
     base: DataFrame,
-    bounds: list,
+    bounds: HostBounds,
     host_col: str = "host",
     budget_col: str | None = None,
 ) -> DataFrame:
@@ -237,9 +337,9 @@ def rank_frontier_distributed(
 
     Two chained windows:
 
-    1. ``_bkt`` = order-consistent bucket from the literal boundary
-       binary search (codegen; within every host, bucket order
-       refines the schedule order, and full-order ties share a
+    1. ``_bkt`` = order-consistent bucket from the hot-host-gated
+       numeric binary search (codegen; within every host, bucket
+       order refines the schedule order, and full-order ties share a
        bucket). ``_lr`` = row_number per (host, bucket): MANY
        parallel bounded sorts carry the expensive string ordering.
     2. rank = row_number per host ordered by (_bkt ASC, _lr ASC) —
@@ -265,14 +365,32 @@ def rank_frontier_distributed(
     O(buckets x budget) rows per host, not the whole pending set.
     The final exact cutoff is rank <= budget.
 
-    Empty ``bounds`` degrades to one bucket per host — pass 1 then
-    equals the plain per-host window (correct; chosen only when the
-    frontier is tiny)."""
-    keyed = base.withColumn(
-        "_bkt", _bucket_of(bounds) if bounds else F.lit(0)
-    )
+    Empty ``bounds`` (no host hot enough to split) degrades to ONE
+    plain per-host window — correct, and the second shuffle is
+    skipped entirely."""
+    if not bounds:
+        w = Window.partitionBy(host_col).orderBy(*_order_cols())
+        r = base.withColumn("rank", F.row_number().over(w))
+        if budget_col is not None:
+            r = r.where(F.col("rank") <= F.col(budget_col))
+        return r
+    # numeric key columns computed ONCE per row; the probe's
+    # binary-search trees reference only these (CollapseProject
+    # keeps the expensive exprs un-duplicated: each is referenced
+    # many times by the trees, so Catalyst leaves the projection).
+    # All three are hot-host-gated when-chains: a cold row (~90% in
+    # the north-rule shape) pays |hot| host-string compares and a
+    # literal, never the url byte packing — measured 1.03 s over
+    # 22.5M rows ungated, and the probe itself 4.4 s ungated vs
+    # sub-second gated (BENCH.md r5).
+    ku = F.lit(-1).cast("long")
+    for host, (lcp, _keys) in bounds.hosts.items():
+        ku = F.when(F.col(host_col) == host, _ku_expr(lcp)).otherwise(ku)
+    keyed = base.withColumns(
+        {"_kp": _kp_expr(), "_kt": _kt_expr(), "_ku": ku}
+    ).withColumn("_bkt", _bucket_of(bounds, host_col))
     w1 = Window.partitionBy(host_col, "_bkt").orderBy(*_order_cols())
-    pre = keyed.withColumn("_lr", F.row_number().over(w1))
+    pre = keyed.withColumn("_lr", F.row_number().over(w1)).drop(*_KEY_COLS)
     if budget_col is not None:
         pre = pre.where(F.col("_lr") <= F.col(budget_col))
     w2 = Window.partitionBy(host_col).orderBy(
@@ -331,9 +449,11 @@ def schedule_wave(
       key (from ``boundary_source`` if given — any cheap superset
       scan, e.g. the frontier table before the seen anti-join — else
       the frontier itself), then rank_frontier_distributed: one full
-      shuffle, bounded parallel per-bucket sorts, broadcast offsets,
-      and an exact pre-shuffle budget cut. Exact for any priority /
-      timestamp / url values (tuple comparisons, no key coarsening).
+      shuffle with hot hosts bucketed into bounded parallel sorts,
+      a cheap numeric re-rank, and an exact pre-shuffle budget cut.
+      Exact for any priority / timestamp / url values (the bucket
+      key is a monotone coarsening; ties merge buckets, never
+      reorder).
     - "two_phase": the r2-r4 salted pre-rank (kept for A/B): exact,
       but its final window re-sorts each host in one task — the
       measured Amdahl term the distributed strategy removes.

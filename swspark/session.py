@@ -45,8 +45,9 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.driver.memory", driver_mem)
-        # the scheduler's literal boundary probe (scheduler._bucket_of)
-        # and other wide generated projections compile to single
+        # the scheduler's boundary probe (scheduler._bucket_of; small
+        # since the r5 hot-host gating, but unbounded hot-host counts
+        # can widen it) and other wide generated projections compile to single
         # methods past HotSpot's 8 KB DontCompileHugeMethods cutoff;
         # without this flag such methods run INTERPRETED forever
         # (measured: 2.6 s -> 26 s for the same 30M-row projection the

@@ -50,15 +50,19 @@ def worker(cores: int, n_urls: int, reps: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     jvm_cpus = spark._jvm.java.lang.Runtime.getRuntime().availableProcessors()
     inputs = prepare_crawl_wave(spark, n_urls)
-    run_crawl_wave(spark, inputs)  # warmup (JIT/codegen), not recorded
-    results = []
-    for _ in range(reps):
-        dt, n = run_crawl_wave(spark, inputs)
-        results.append({"seconds": dt, "urls_fetched": n})
+    shapes = {}
+    for shape in ("stress", "politeness"):
+        run_crawl_wave(spark, inputs, shape)  # warmup (JIT), not recorded
+        runs = []
+        for _ in range(reps):
+            dt, n = run_crawl_wave(spark, inputs, shape)
+            runs.append({"seconds": dt, "urls_fetched": n})
+        shapes[shape] = runs
     stages = run_crawl_wave_stages(spark, inputs)
     print("RESULT " + json.dumps(
         {"cores": cores, "jvm_available_processors": jvm_cpus,
-         "runs": results, "stages_cumulative_sec": stages}
+         "runs": shapes["stress"], "runs_politeness": shapes["politeness"],
+         "stages_cumulative_sec": stages}
     ))
 
 
@@ -148,6 +152,7 @@ def main() -> None:
         med = statistics.median(secs)
         best = min(secs)
         n = data["runs"][0]["urls_fetched"]
+        psecs = [r["seconds"] for r in data["runs_politeness"]]
         summary[f"local{cores}"] = {
             "best_seconds": round(best, 2),
             "median_seconds": round(med, 2),
@@ -155,6 +160,18 @@ def main() -> None:
             "urls_per_sec_best": round(n / best, 1),
             "urls_per_sec_median": round(n / med, 1),
             "all_seconds": [round(s, 2) for s in secs],
+            # politeness shape: pending >> budget (wave_period=60 s vs
+            # the 0.5/1/2 s crawl delays -> 30..120 budget per host),
+            # the real-crawl regime where the rank's pre-shuffle
+            # budget cut does the work. Throughput numerator is the
+            # frontier size processed (output rows are budget-bounded
+            # and constant across levels, so time ratios == throughput
+            # ratios either way).
+            "politeness_best_seconds": round(min(psecs), 2),
+            "politeness_median_seconds": round(statistics.median(psecs), 2),
+            "politeness_all_seconds": [round(s, 2) for s in psecs],
+            "politeness_urls_fetched": data["runs_politeness"][0][
+                "urls_fetched"],
             "steal_jiffies_during_run": steal[cores],
             "jvm_available_processors": data["jvm_available_processors"],
             "stages_cumulative_sec": data["stages_cumulative_sec"],
@@ -166,21 +183,37 @@ def main() -> None:
         summary[f"scaling_efficiency_{est}"] = round(
             (t_hi / t_lo) / (hi / lo), 3
         )
+        s_lo = summary[f"local{lo}"][f"politeness_{est}_seconds"]
+        s_hi = summary[f"local{hi}"][f"politeness_{est}_seconds"]
+        summary[f"politeness_scaling_efficiency_{est}"] = round(
+            (s_lo / s_hi) / (hi / lo), 3
+        )
     summary["scaling_efficiency"] = summary["scaling_efficiency_best"]
     summary["levels"] = list(levels)
-    # north-rule regression gate: median efficiency over the lo->hi
-    # span must stay >= 0.8 (the r3-graded bar); --gate makes a
-    # regression fail loudly instead of silently shipping in a JSON
+    # north-rule regression gate, evaluated PER SHAPE: median
+    # efficiency over the lo->hi span must stay >= 0.8 (the r3-graded
+    # bar); --gate makes a regression fail loudly on either shape
     summary["gate_efficiency_median_ge_0.8"] = (
         summary["scaling_efficiency_median"] >= 0.8
+    )
+    summary["gate_politeness_efficiency_median_ge_0.8"] = (
+        summary["politeness_scaling_efficiency_median"] >= 0.8
     )
     print(json.dumps(summary, indent=2))
     with open("BENCH_SCALING.json", "w") as fh:
         json.dump(summary, fh, indent=2)
-    if gate and not summary["gate_efficiency_median_ge_0.8"]:
-        print("SCALING GATE FAILED: median efficiency "
-              f"{summary['scaling_efficiency_median']} < 0.8",
-              file=sys.stderr)
+    failed = [
+        name for name, key in (
+            ("stress", "scaling_efficiency_median"),
+            ("politeness", "politeness_scaling_efficiency_median"),
+        ) if summary[key] < 0.8
+    ]
+    if gate and failed:
+        for name in failed:
+            key = ("scaling_efficiency_median" if name == "stress"
+                   else "politeness_scaling_efficiency_median")
+            print(f"SCALING GATE FAILED ({name}): median efficiency "
+                  f"{summary[key]} < 0.8", file=sys.stderr)
         sys.exit(1)
 
 
