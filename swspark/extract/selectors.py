@@ -403,10 +403,20 @@ def _match_complex(
     return False  # pragma: no cover
 
 
+def _match_any(el: Node, complexes, scope: Node | None) -> bool:
+    # plain loop, not any(genexpr): this is the single hottest call
+    # site in spec extraction (profiled ~3.4 us per genexpr setup vs
+    # sub-us for the loop; selectors usually have ONE complex)
+    for cx in complexes:
+        if _match_complex(el, cx, 0, scope):
+            return True
+    return False
+
+
 def matches(el: Node, selector: "Selector | str", scope: Node | None = None) -> bool:
     if isinstance(selector, str):
         selector = Selector.parse(selector)
-    return any(_match_complex(el, cx, 0, scope) for cx in selector.complexes)
+    return _match_any(el, selector.complexes, scope)
 
 
 def select(root: Node, selector: "Selector | str"):
@@ -415,8 +425,9 @@ def select(root: Node, selector: "Selector | str"):
     ``root`` (element_ref/mod.rs:47-56,110-136)."""
     if isinstance(selector, str):
         selector = Selector.parse(selector)
+    complexes = selector.complexes
     for el in root.descendant_elements():
-        if any(_match_complex(el, cx, 0, root) for cx in selector.complexes):
+        if _match_any(el, complexes, root):
             yield el
 
 
@@ -434,9 +445,7 @@ def select_first_multi(
     remaining = len(sels)
     for el in root.descendant_elements():
         for i, sel in enumerate(sels):
-            if found[i] is None and any(
-                _match_complex(el, cx, 0, root) for cx in sel.complexes
-            ):
+            if found[i] is None and _match_any(el, sel.complexes, root):
                 found[i] = el
                 remaining -= 1
                 if not remaining:

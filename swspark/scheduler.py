@@ -323,6 +323,15 @@ def sample_order_bounds(
     return HostBounds(hosts)
 
 
+def default_n_buckets(spark) -> int:
+    """Bucket budget for the distributed rank: 4x the shuffle
+    partition count, clamped — enough to split a hot host across
+    every reducer with headroom, bounded so per-host probe trees
+    stay small."""
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(8, min(512, 4 * sp))
+
+
 def rank_frontier_distributed(
     base: DataFrame,
     bounds: HostBounds,
@@ -428,6 +437,7 @@ def schedule_wave(
     n_buckets: int | None = None,
     boundary_source: DataFrame | None = None,
     approx_count: int | None = None,
+    bounds: "HostBounds | None" = None,
 ) -> DataFrame:
     """Select this wave's URLs: rank per host, cut at the politeness
     budget, optionally cap the global wave size (the page_buffer /
@@ -479,15 +489,18 @@ def schedule_wave(
         ).drop("backoff_k")
 
     if strategy == "distributed":
-        spark = frontier.sparkSession
-        if n_buckets is None:
-            sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-            n_buckets = max(8, min(512, 4 * sp))
-        bounds = sample_order_bounds(
-            boundary_source if boundary_source is not None else frontier,
-            n_buckets,
-            approx_count=approx_count,
-        )
+        if bounds is None:
+            if n_buckets is None:
+                n_buckets = default_n_buckets(frontier.sparkSession)
+            # boundaries only steer balance, never results, so a
+            # caller may pass ``bounds`` sampled on an earlier wave
+            # (the driver resamples every K waves): stale bounds at
+            # worst unbalance the hot host's buckets for a few waves
+            bounds = sample_order_bounds(
+                boundary_source if boundary_source is not None else frontier,
+                n_buckets,
+                approx_count=approx_count,
+            )
         picked = rank_frontier_distributed(
             base, bounds, host_col=host_col, budget_col="_budget"
         ).drop("crawl_delay", "_budget")
