@@ -94,6 +94,13 @@ def main() -> None:
     gate = "--gate" in argv
     if gate:
         argv.remove("--gate")
+    # --out FILE: write the summary elsewhere (supplemental series,
+    # e.g. the 4->16 N-vs-4N instance, without clobbering the primary)
+    out_path = "BENCH_SCALING.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i:i + 2]
     n_urls = int(argv[0]) if argv else 10_000_000
     # >=7 reps so the MEDIAN estimator also clears the 0.8 bar with a
     # defensible sample (r2's 3-rep min-estimator was graded fragile)
@@ -200,7 +207,7 @@ def main() -> None:
         summary["politeness_scaling_efficiency_median"] >= 0.8
     )
     print(json.dumps(summary, indent=2))
-    with open("BENCH_SCALING.json", "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=2)
     failed = [
         name for name, key in (
