@@ -140,6 +140,11 @@ def _ku_expr(lcp: bytes) -> Column:
 
 _KEY_COLS = ("_kp", "_kt", "_ku")
 
+# Lead the pass-1 window sort with the numeric keys (True in
+# production; tools/ab tooling flips it to time the string-only
+# ordering under the same JVM/load).
+_NUMERIC_SORT = True
+
 
 def _py_ku(url, lcp: bytes) -> int:
     if url is None:
@@ -398,7 +403,22 @@ def rank_frontier_distributed(
     keyed = base.withColumns(
         {"_kp": _kp_expr(), "_kt": _kt_expr(), "_ku": ku}
     ).withColumn("_bkt", _bucket_of(bounds, host_col))
-    w1 = Window.partitionBy(host_col, "_bkt").orderBy(*_order_cols())
+    # Pass-1 sort leads with the numeric keys (VERDICT r4 fix path
+    # (b)): within a (host, _bkt) partition _kp/_kt are exact monotone
+    # maps of the first two order columns and _ku is a monotone
+    # coarsening of url ASC (or the constant -1 for cold hosts), so
+    # prepending them cannot reorder anything — the full original
+    # order columns follow as the exact tiebreak. Effect: the hot
+    # host's comparisons resolve on three longs instead of walking
+    # the ~26-byte shared url prefix every time.
+    # _NUMERIC_SORT is a measurement hook (tools A/B both orderings in
+    # one JVM under identical neighbor load), not a user switch.
+    lead = (
+        (F.asc("_kp"), F.asc("_kt"), F.asc("_ku")) if _NUMERIC_SORT else ()
+    )
+    w1 = Window.partitionBy(host_col, "_bkt").orderBy(
+        *lead, *_order_cols()
+    )
     pre = keyed.withColumn("_lr", F.row_number().over(w1)).drop(*_KEY_COLS)
     if budget_col is not None:
         pre = pre.where(F.col("_lr") <= F.col(budget_col))

@@ -51,16 +51,58 @@ def worker(cores: int, n_urls: int, reps: int) -> None:
     jvm_cpus = spark._jvm.java.lang.Runtime.getRuntime().availableProcessors()
     inputs = prepare_crawl_wave(spark, n_urls)
     shapes = {}
+    warmups = {}
     for shape in ("stress", "politeness"):
-        run_crawl_wave(spark, inputs, shape)  # warmup (JIT), not recorded
+        # Converge-then-record (r5, symmetric at every level): a single
+        # warmup rep does NOT reach the JVM's steady-state floor — the
+        # r4 local[32] recorded reps decayed monotonically 89->49 s
+        # (tiered C2 compilation of the wide codegen methods keeps
+        # landing across the first few full-size runs), which inflates
+        # the MEDIAN estimator asymmetrically and understates
+        # efficiency the same way r3's un-floored local[8] OVERstated
+        # it. Warm up until no new best for 2 consecutive reps (cap 6),
+        # then record; the recorded sample sits at the floor at BOTH
+        # levels, which is what an allocation's steady-state
+        # throughput means.
+        best = float("inf")
+        since_best = 0
+        wruns = []
+        for _ in range(6):
+            dt, _n = run_crawl_wave(spark, inputs, shape)
+            wruns.append(round(dt, 2))
+            if dt < best:
+                best, since_best = dt, 0
+            else:
+                since_best += 1
+                if since_best >= 2:
+                    break
+        warmups[shape] = wruns
+        # Clean-rep protocol: this sandbox is a shared VM — hypervisor
+        # steal (neighbor tenants' CPU) inflates individual reps by
+        # 2-6x in bursts, which poisons the MEDIAN estimator with
+        # noise no cluster allocation would see. Validity is decided
+        # by an OBJECTIVE per-rep measurement, never by the timing
+        # itself: a rep is clean when steal during it is <= 5% of the
+        # rep's pinned-CPU allocation (cores x seconds x 100 jiffies).
+        # Keep measuring until ``reps`` clean reps (cap 3x), publish
+        # EVERY rep with its steal count, and mark the clean ones.
         runs = []
-        for _ in range(reps):
+        clean = 0
+        for _ in range(3 * reps):
+            s0 = _steal_jiffies()
             dt, n = run_crawl_wave(spark, inputs, shape)
-            runs.append({"seconds": dt, "urls_fetched": n})
+            st = _steal_jiffies() - s0
+            is_clean = st >= 0 and st <= 0.05 * cores * dt * 100
+            runs.append({"seconds": dt, "urls_fetched": n,
+                         "steal_jiffies": st, "clean": is_clean})
+            clean += is_clean
+            if clean >= reps:
+                break
         shapes[shape] = runs
     stages = run_crawl_wave_stages(spark, inputs)
     print("RESULT " + json.dumps(
         {"cores": cores, "jvm_available_processors": jvm_cpus,
+         "warmup_seconds": warmups,
          "runs": shapes["stress"], "runs_politeness": shapes["politeness"],
          "stages_cumulative_sec": stages}
     ))
@@ -150,23 +192,50 @@ def main() -> None:
                "protocol": "taskset -c 0..N-1: local[N] gets exactly N "
                            "CPUs (JVM+GC+Python workers included), the "
                            "honest analog of an N-core cluster "
-                           "allocation. Primary estimator is BEST rep "
-                           "(shared-VM steal noise only ever inflates a "
-                           "rep, never deflates it); median reported "
-                           "alongside."}
+                           "allocation. Converge-then-record: warmup "
+                           "reps run until no new best for 2 "
+                           "consecutive (cap 6) so the recorded sample "
+                           "sits at the steady-state floor at BOTH "
+                           "levels (r4's single-warmup local[32] reps "
+                           "decayed 89->49 s across the recorded "
+                           "window, deflating the median the same way "
+                           "r3's un-floored local[8] inflated it). "
+                           "Primary estimator is BEST rep (shared-VM "
+                           "steal noise only ever inflates a rep, "
+                           "never deflates it); median reported "
+                           "alongside. Clean-rep validity: a rep "
+                           "counts when hypervisor steal during it is "
+                           "<= 5% of its pinned-CPU allocation "
+                           "(objective /proc/stat measurement, never "
+                           "the timing itself); the worker keeps "
+                           "measuring until `reps` clean reps (cap "
+                           "3x). ALL reps + per-rep steal + clean "
+                           "flags are published; estimators use the "
+                           "clean subset (fallback: all, if <3 "
+                           "clean)."}
+    def _clean_secs(runs):
+        """Estimator sample: the clean reps (objective steal-based
+        validity, decided in the worker) when >=3 exist, else all."""
+        cl = [r["seconds"] for r in runs if r.get("clean")]
+        return cl if len(cl) >= 3 else [r["seconds"] for r in runs]
+
     for cores, data in out.items():
-        secs = [r["seconds"] for r in data["runs"]]
+        secs = _clean_secs(data["runs"])
         med = statistics.median(secs)
         best = min(secs)
         n = data["runs"][0]["urls_fetched"]
-        psecs = [r["seconds"] for r in data["runs_politeness"]]
+        psecs = _clean_secs(data["runs_politeness"])
         summary[f"local{cores}"] = {
             "best_seconds": round(best, 2),
             "median_seconds": round(med, 2),
             "urls_fetched": n,
             "urls_per_sec_best": round(n / best, 1),
             "urls_per_sec_median": round(n / med, 1),
-            "all_seconds": [round(s, 2) for s in secs],
+            "clean_seconds": [round(s, 2) for s in secs],
+            "all_seconds": [
+                round(r["seconds"], 2) for r in data["runs"]
+            ],
+            "clean_flags": [bool(r.get("clean")) for r in data["runs"]],
             # politeness shape: pending >> budget (wave_period=60 s vs
             # the 0.5/1/2 s crawl delays -> 30..120 budget per host),
             # the real-crawl regime where the rank's pre-shuffle
@@ -176,9 +245,22 @@ def main() -> None:
             # ratios either way).
             "politeness_best_seconds": round(min(psecs), 2),
             "politeness_median_seconds": round(statistics.median(psecs), 2),
-            "politeness_all_seconds": [round(s, 2) for s in psecs],
+            "politeness_clean_seconds": [round(s, 2) for s in psecs],
+            "politeness_all_seconds": [
+                round(r["seconds"], 2) for r in data["runs_politeness"]
+            ],
+            "politeness_clean_flags": [
+                bool(r.get("clean")) for r in data["runs_politeness"]
+            ],
+            "politeness_steal_jiffies_per_rep": [
+                r.get("steal_jiffies") for r in data["runs_politeness"]
+            ],
             "politeness_urls_fetched": data["runs_politeness"][0][
                 "urls_fetched"],
+            "warmup_seconds": data.get("warmup_seconds"),
+            "steal_jiffies_per_rep": [
+                r.get("steal_jiffies") for r in data["runs"]
+            ],
             "steal_jiffies_during_run": steal[cores],
             "jvm_available_processors": data["jvm_available_processors"],
             "stages_cumulative_sec": data["stages_cumulative_sec"],
