@@ -47,6 +47,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 
 from swspark.extract.htmltok import tokenize as _fast_tokenize
+from swspark.extract.htmltok import tokenize_text as _fast_tokenize_text
 
 DOCUMENT = 0
 DOCTYPE = 1
@@ -359,9 +360,9 @@ def stream_fulltext(html: str | bytes) -> str:
         # and formatting reconstruction only move element boundaries,
         # never the relative order of character data.
         return Html.parse_document(html).root.inner_text()
-    evs = _fast_tokenize(html)
-    if evs is not None:
-        return "".join(e[1] for e in evs if e[0] == "d")
+    parts = _fast_tokenize_text(html)
+    if parts is not None:
+        return "".join(parts)
     ts = _TextStream()
     try:
         ts.feed(html)

@@ -514,12 +514,22 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
             if str(df[col].dtype).startswith("datetime64[ns"):
                 # Spark can't scan nano-precision parquet timestamps
                 df[col] = df[col].astype("datetime64[us]")
-        df.to_parquet(os.path.join(out_dir, f"{name}.parquet"))
+        # Small row groups so Spark can SPLIT the file: a single-row-
+        # group parquet is one scan task no matter the config, which
+        # serialized the whole extraction bench on one core (guide §6
+        # — splits are assigned by row-group midpoint byte). ~256 rows
+        # ≈ 150 KB per group for the pages table: plenty of split
+        # points for a 32-way scan, still far above per-group overhead.
+        df.to_parquet(
+            os.path.join(out_dir, f"{name}.parquet"), row_group_size=256
+        )
 
 
 def ensure_corpus(out_dir: str, scale: str = "tiny", seed: int = SEED) -> str:
     """Generate-once helper for tests/benchmarks."""
-    marker = os.path.join(out_dir, f".done-{scale}-{seed}")
+    # v2: layout marker — row-group-split parquet (see write_corpus);
+    # regenerate corpora written under the old single-group layout
+    marker = os.path.join(out_dir, f".done-{scale}-{seed}-v2")
     if not os.path.exists(marker):
         write_corpus(generate_corpus(scale, seed), out_dir)
         with open(marker, "w") as fh:

@@ -240,17 +240,31 @@ def embedding_neardup_pairs(
     anchors = indexed.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
     )
+    # Candidate generation and dedup run on (doc_a, doc_b) ID PAIRS
+    # only — the blocking join and the multi-probe dedup never carry
+    # the vectors (guide §8: decide on small rows, move payloads
+    # once). Before r6 the join shipped both embeddings through the
+    # dedup, which forced sort-based aggregation over array rows;
+    # ids dedup as a hash aggregate of two longs, and the verify
+    # joins re-attach each vector exactly once. va/vb are functions
+    # of the ids, so any dedup representative is identical.
     cand = (
-        anchors.alias("a")
-        .join(posted.alias("b"), "bucket")
+        anchors.select("id", "bucket").alias("a")
+        .join(posted.select("id", "bucket").alias("b"), "bucket")
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    vecs = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    cand = (
+        cand.join(vecs.withColumnsRenamed({"id": "doc_a", "v": "va"}),
+                  "doc_a")
+        .join(vecs.withColumnsRenamed({"id": "doc_b", "v": "vb"}), "doc_b")
     )
     va = F.col("va").cast("array<double>")
     vb = F.col("vb").cast("array<double>")
