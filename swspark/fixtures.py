@@ -514,22 +514,41 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
             if str(df[col].dtype).startswith("datetime64[ns"):
                 # Spark can't scan nano-precision parquet timestamps
                 df[col] = df[col].astype("datetime64[us]")
-        # Small row groups so Spark can SPLIT the file: a single-row-
-        # group parquet is one scan task no matter the config, which
-        # serialized the whole extraction bench on one core (guide §6
-        # — splits are assigned by row-group midpoint byte). ~256 rows
-        # ≈ 150 KB per group for the pages table: plenty of split
-        # points for a 32-way scan, still far above per-group overhead.
-        df.to_parquet(
-            os.path.join(out_dir, f"{name}.parquet"), row_group_size=256
-        )
+        path = os.path.join(out_dir, f"{name}.parquet")
+        if name == "pages" and len(df) > 1024:
+            # Write the pages table as a DIRECTORY of ~32 part files:
+            # pandas' single-file parquet has one row group, which
+            # Spark cannot split — the whole extraction bench ran as
+            # ONE scan task on one core (guide §6). One file per core
+            # gives a 32-wide scan under the default split sizing (no
+            # openCostInBytes tuning, so small single-file inputs
+            # elsewhere don't shatter into empty tasks). Readers are
+            # unchanged: both Spark and pandas/pyarrow read a parquet
+            # directory transparently.
+            import shutil
+
+            if os.path.isfile(path):
+                os.remove(path)
+            elif os.path.isdir(path):
+                shutil.rmtree(path)
+            os.makedirs(path)
+            n_parts = 32
+            step = (len(df) + n_parts - 1) // n_parts
+            for p in range(n_parts):
+                chunk = df.iloc[p * step:(p + 1) * step]
+                if len(chunk):
+                    chunk.to_parquet(
+                        os.path.join(path, f"part-{p:05d}.parquet")
+                    )
+        else:
+            df.to_parquet(path)
 
 
 def ensure_corpus(out_dir: str, scale: str = "tiny", seed: int = SEED) -> str:
     """Generate-once helper for tests/benchmarks."""
-    # v2: layout marker — row-group-split parquet (see write_corpus);
-    # regenerate corpora written under the old single-group layout
-    marker = os.path.join(out_dir, f".done-{scale}-{seed}-v2")
+    # v3: layout marker — multi-file pages table (see write_corpus);
+    # regenerate corpora written under the old single-file layout
+    marker = os.path.join(out_dir, f".done-{scale}-{seed}-v3")
     if not os.path.exists(marker):
         write_corpus(generate_corpus(scale, seed), out_dir)
         with open(marker, "w") as fh:

@@ -77,18 +77,11 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"),
         )
-        # File-split sizing (guide §6): the 4 MB openCostInBytes
-        # default floors split size at 4 MB, so a 10-20 MB input scans
-        # 3-4-wide no matter the core count — and single-digit-MB
-        # corpora (the extraction fixture, the sf-dir tables) ran ONE
-        # task. 128 KB keeps tiny-file packing dense while letting
-        # totalBytes/defaultParallelism drive split size; at cluster
-        # scale maxPartitionBytes (default 128 MB) still caps splits,
-        # so large scans are unchanged.
-        .config(
-            "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", "131072"),
-        )
+        # (r6 note: a global openCostInBytes cut was measured and
+        # REVERTED — it split every small single-row-group input into
+        # ~30 empty scan tasks, pure scheduling overhead. Small-input
+        # parallelism comes from file layout instead: the fixture
+        # corpus is written as one file per core, guide §6.)
         # Arrow is the hot path for every extraction/robots/bloom UDF.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
