@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 )
 
 from swspark import urlnorm
+from swspark.planmemo import memoize_plan
 
 # --- hashing ----------------------------------------------------------
 
@@ -236,6 +237,7 @@ SHARD_SCHEMA = StructType(
 )
 
 
+@memoize_plan
 def with_url_identity(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach canonical url_hash + bucket-ready identity columns."""
     canon = urlnorm.canonicalize(F.col(url_col))
@@ -436,6 +438,7 @@ def make_maybe_seen_udf(
     return maybe_seen
 
 
+@memoize_plan
 def filter_new_urls(
     spark: SparkSession,
     candidates: DataFrame,
