@@ -692,7 +692,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         multitable_lsh_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     indexed, planes = multitable_lsh_index(emb, bits=8, n_tables=8)
     approx = multitable_lsh_topk(indexed, planes, q, k=10, depth=2).select(
@@ -847,7 +847,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; on real embeddings the same plumbing prunes far harder."""
     from swspark.simsearch import brute_force_topk, ivf_index, ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     indexed, cents = ivf_index(emb, n_lists=16, iters=2)
     approx = ivf_topk(indexed, cents, q, k=10, nprobe=12).select("vec_id")
